@@ -1,0 +1,58 @@
+"""Varbyte/delta codec: round-trip property tests (SURVEY.md §5.5)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from document_retrieval_system_spark.operators.codec import (
+    delta_decode,
+    delta_encode,
+    decode_positions,
+    encode_positions,
+    vb_decode,
+    vb_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(values):
+    arr = np.asarray(values, dtype=np.uint64)
+    assert vb_decode(vb_encode(arr)).tolist() == values
+
+
+def test_varbyte_edges():
+    for edge in ([], [0], [1], [127], [128], [2**32], [2**63 - 1], [0, 0, 0]):
+        arr = np.asarray(edge, dtype=np.uint64)
+        assert vb_decode(vb_encode(arr)).tolist() == edge
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200)
+    .map(lambda xs: sorted(set(xs)))
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(ids):
+    arr = np.asarray(ids, dtype=np.uint64)
+    assert delta_decode(delta_encode(arr)).tolist() == ids
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10000), max_size=50)
+        .map(lambda xs: sorted(set(xs))),
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_positions_roundtrip(pos_lists):
+    buf = encode_positions(pos_lists)
+    out = decode_positions(buf, len(pos_lists))
+    assert [p.tolist() for p in out] == pos_lists
+
+
+def test_compression_ratio_dense_ids():
+    """Dense sorted docIDs must compress to ~1 byte/posting."""
+    ids = np.arange(0, 100000, 3, dtype=np.uint64)
+    encoded = vb_encode(delta_encode(ids))
+    assert len(encoded) <= ids.size + 2  # delta=3 -> 1 byte each
