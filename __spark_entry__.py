@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (BM25 top-k over the documents table
+  at sf0.001) — smoke check.
+- ``queries()``: one entry per implemented operator from SURVEY.md §2
+  plus the training-data pipeline operators (dedup / ANN / text stats).
+- ``oracle_sql()``: DuckDB-runnable ANSI-SQL twins; omitted only for ops
+  that are genuinely not SQL-expressible (LSH-ANN with seeded
+  hyperplanes, reference highlighter, multimodal stub plumbing, the HTML
+  extractor) — those get the driver's rows-only check and are
+  oracle-verified in pytest instead.
+
+Implementations live in document_retrieval_system_spark/entry_queries.py.
 """
 
 from __future__ import annotations
@@ -13,26 +19,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from document_retrieval_system_spark.entry_queries import QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k on /root/testdata/sf0.001 documents."""
+    from document_retrieval_system_spark.entry_queries import q_r3_bm25_topk
+
+    return q_r3_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: builder for name, (builder, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_builder, sql) in QUERIES.items() if sql is not None}

@@ -25,11 +25,20 @@ from pyspark.sql.types import ArrayType, StringType
 from document_retrieval_system_spark.functions.analyzer import process_text
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def tokenize_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
-    return pd.Series(
-        [process_text(t, l) if t is not None else [] for t, l in zip(text, lang)]
-    )
+def make_tokenize_udf(analyzer=process_text):
+    """Arrow UDF factory so alternate analyzers (e.g. the SQL-expressible
+    one used for DuckDB-verified queries) reuse the same plumbing."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tokenize(text: pd.Series, lang: pd.Series) -> pd.Series:
+        return pd.Series(
+            [analyzer(t, l) if t is not None else [] for t, l in zip(text, lang)]
+        )
+
+    return _tokenize
+
+
+tokenize_udf = make_tokenize_udf()
 
 
 DOC_TERM_SCHEMA = (

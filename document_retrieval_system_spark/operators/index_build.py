@@ -80,10 +80,13 @@ def assign_local_no(docs: DataFrame) -> DataFrame:
     return docs.withColumn("local_no", (F.row_number().over(w) - 1).cast("long"))
 
 
-def tokenize_docs(docs: DataFrame) -> DataFrame:
+def tokenize_docs(docs: DataFrame, analyzer=None) -> DataFrame:
     """Fill text from html (byte-identical extractor) then analyze."""
+    from document_retrieval_system_spark.operators.analyze import make_tokenize_udf
+
     docs = with_extracted_text(docs)
-    docs = docs.withColumn("tokens", tokenize_udf(F.col("text"), F.col("lang")))
+    udf = tokenize_udf if analyzer is None else make_tokenize_udf(analyzer)
+    docs = docs.withColumn("tokens", udf(F.col("text"), F.col("lang")))
     return docs.withColumn("doc_len", F.size(F.col("tokens")).cast("int"))
 
 
@@ -155,6 +158,7 @@ def build_index(
     wave_size: int | None = None,
     resume: bool = False,
     finalize: bool = True,
+    analyzer=None,
 ) -> IndexPaths:
     """Build (or resume) the sharded compressed index under ``index_dir``.
 
@@ -185,7 +189,7 @@ def build_index(
             continue
         docs = base.filter(F.col("shard").isin([int(s) for s in wave]))
         docs = assign_local_no(docs)
-        tok = tokenize_docs(docs).persist()
+        tok = tokenize_docs(docs, analyzer=analyzer).persist()
         try:
             doc_cols = tok.select(
                 "shard", "local_no", "doc_id", "url", "warc_ts", "lang",

@@ -129,10 +129,11 @@ def bm25_search(
     lang: str = "zh",
     max_results: int = DEFAULT_MAX_RESULTS,
     min_score: float = DEFAULT_MIN_SCORE,
+    analyzer=process_text,
 ) -> DataFrame:
     """Exhaustive relational BM25 (R3 naive form)."""
     spark = reader.spark
-    query_terms = process_text(query, lang)
+    query_terms = analyzer(query, lang)
     if not query_terms:
         return _empty_result(spark)
     corpus = reader.corpus()

@@ -1,0 +1,97 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths, same contract (top-k by cosine, ties by id):
+
+- ``cosine_topk``: brute-force exact baseline.  The query vector ships as
+  a literal array; dot/norm are higher-order-function expressions (JVM,
+  codegen) — a single map + TakeOrderedAndProject, no shuffle beyond the
+  final top-k, scales linearly and is the correctness oracle for the
+  bucketed path.
+- ``lsh_topk``: random-hyperplane LSH.  Signatures are deterministic
+  (numpy PCG64 seeded), shipped as literal hyperplanes; candidates =
+  vectors whose signature matches the query's in >= (sig_bits - probe)
+  bits (multi-probe by Hamming radius), then exact cosine on candidates
+  only.  At 10^12 scale the signature becomes a partition/bucket key so
+  a query touches only matching buckets (partition pruning), instead of
+  scanning every vector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(vec_col, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col):
+    return F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def cosine_scores(emb: DataFrame, query: list[float], id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    qnorm = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    cos = _dot(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return emb.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+
+
+def cosine_topk(emb: DataFrame, query: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return (
+        cosine_scores(emb, query, id_col, vec_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, sig_bits: int = 16, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((sig_bits, dim))
+
+
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Bit-string signature: sign of dot(vec, plane) per hyperplane."""
+    bits = []
+    for p in planes:
+        dp = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dp >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, sig_bits: int = 16,
+             hamming_probe: int = 3, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: exact cosine over the LSH candidate set only."""
+    dim = len(query)
+    planes = hyperplanes(dim, sig_bits, seed)
+    q = np.asarray(query, dtype=np.float64)
+    q_sig = "".join("1" if planes[i] @ q >= 0 else "0" for i in range(sig_bits))
+
+    sig = lsh_signature_col(F.col(vec_col), planes)
+    # Hamming distance to the query signature via per-char compare
+    ham = sum(
+        F.when(F.substring(sig, i + 1, 1) == q_sig[i], 0).otherwise(1)
+        for i in range(sig_bits)
+    )
+    candidates = emb.withColumn("_ham", ham).filter(F.col("_ham") <= hamming_probe)
+    return (
+        cosine_scores(candidates, query, id_col, vec_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

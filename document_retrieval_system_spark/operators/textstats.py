@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+These go beyond the reference (which has no corpus-analytics surface) but
+are first-class citizens of a 100 TB webtext engine.  All are pure column
+expressions / higher-order functions — JVM-side, whole-stage-codegen'd,
+no Python in the hot path.
+
+``simple_tokens`` is the SQL-expressible analyzer used for the
+DuckDB-verified driver queries (lower -> non-letters to spaces -> split ->
+len>=2); the full reference analyzer (stemming, CJK segmentation) lives
+in functions/analyzer.py and is verified against the oracle in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mirrored 1:1 by DuckDB SQL in __spark_entry__.oracle_sql().
+EN_MARKERS = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"]
+
+_SIMPLE_RE = __import__("re").compile("[^a-z]")
+
+
+def simple_process_text(text: str | None, lang: str | None = None) -> list[str]:
+    """Pure-Python twin of ``simple_tokens`` (and of the DuckDB CTE):
+    lower -> non-letters to spaces -> split -> len>=2.  Used as the
+    injectable analyzer for the DuckDB-verified index/query entries."""
+    if not text:
+        return []
+    return [t for t in _SIMPLE_RE.sub(" ", text.lower()).split(" ") if len(t) >= 2]
+
+
+def simple_tokens(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(text_col), "[^a-z]", " "), " "),
+        lambda t: F.length(t) >= 2,
+    )
+
+
+def word_ngrams(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; empty array when fewer than n tokens."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(text_col: Column, k: int = 8) -> Column:
+    """Character k-gram shingles over lowercased text (distinct)."""
+    low = F.lower(text_col)
+    idx = F.sequence(F.lit(1), F.length(low) - (k - 1))
+    grams = F.transform(idx, lambda i: F.substring(low, i, k))
+    return F.array_distinct(
+        F.when(F.length(low) >= k, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram-heuristic language ID: CJK presence -> zh; English marker
+    stopword hits -> en; else other."""
+    toks = simple_tokens(F.col(text_col))
+    en_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS)))
+    pred = (
+        F.when(F.col(text_col).rlike("[一-鿿]"), F.lit("zh"))
+        .when(en_hits > 0, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+    return df.select(F.col(id_col), pred.alias("lang_pred"), en_hits.alias("en_marker_hits"))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band, alpha ratio,
+    marker-stopword ratio, mean word length band."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(text)
+    toks = simple_tokens(text)
+    n_tok = F.size(toks)
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS))) / n_tok,
+    ).otherwise(F.lit(0.0))
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    length_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.5)
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
+    score = F.round(
+        0.25 * length_ok + 0.35 * alpha_ratio
+        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * wlen_ok,
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(text_col).isNotNull().alias("has_text"),
+        n_tok.alias("n_tokens"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish sub-token count (letter runs,
+    digit runs, and isolated symbols — a proxy for tokenizer cost)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    bpe = F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    return df.select(
+        F.col(id_col), ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens")
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                k: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: min over char-k-gram md5 hashes
+    (winnowing-style 1-of-N selection) + shingle cardinality."""
+    sh = char_shingles(F.col(text_col), k)
+    fp = F.array_min(F.transform(sh, F.md5))
+    return df.select(
+        F.col(id_col), fp.alias("fingerprint"), F.size(sh).alias("n_shingles")
+    )

@@ -168,10 +168,11 @@ def bm25_wand_search(
     lang: str = "zh",
     max_results: int = DEFAULT_MAX_RESULTS,
     min_score: float = DEFAULT_MIN_SCORE,
+    analyzer=process_text,
 ) -> DataFrame:
     """Block-max WAND BM25 top-k; same contract as search.bm25_search."""
     spark = reader.spark
-    query_terms = process_text(query, lang)
+    query_terms = analyzer(query, lang)
     if not query_terms:
         from document_retrieval_system_spark.operators.search import _empty_result
 

@@ -1,0 +1,83 @@
+"""Local reproduction of the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() twin on DuckDB at sf0.01,
+compare row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+ORACLE = entry_mod.oracle_sql()
+ALL = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE), ids=str)
+def test_query_matches_duckdb_oracle(spark, ddb, name):
+    sdf = ALL[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    res = ddb.sql(ORACLE[name])
+    dcols = res.columns
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    sset, _ = _rowset(scols, [[r[c] for c in scols] for r in srows])
+    dset, _ = _rowset(dcols, drows)
+    if sset != dset:
+        diff_a = [x for x in sset if x not in dset][:5]
+        diff_b = [x for x in dset if x not in sset][:5]
+        raise AssertionError(f"{name}: values differ\nspark-only={diff_a}\nduck-only={diff_b}")
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(ALL) - set(ORACLE)), ids=str
+)
+def test_rows_only_queries_run(spark, name):
+    df = ALL[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
