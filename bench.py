@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus an index-build
+throughput measurement over the synthetic pages corpus, and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "index_build": {...}}
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py, which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+
+    from document_retrieval_system_spark.entry_queries import QUERIES
+    from document_retrieval_system_spark.operators.index_build import build_index
+    from document_retrieval_system_spark.session import get_spark
+    from document_retrieval_system_spark.sources.corpus import pages_df
+
+    spark = get_spark("drs-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = [
+        "r3_bm25_topk", "r3_bm25_wand", "r1_tfidf_topk", "b7_phrase",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_ngram_jaccard3", "ann_cosine_topk", "ann_lsh_topk",
+        "ta_langid", "ta_quality", "ta_fingerprint", "u2_boost_rescore",
+    ]
+
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+    # warm-up: JVM + Arrow worker spin-up paid once, not per query
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
+    for name in bench_queries:
+        builder, _sql = QUERIES[name]
+        t0 = time.time()
+        builder(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # index-build throughput: pages -> extract -> tokenize -> compressed
+    # sharded index (the north-star metric, docs/sec)
+    idx_dir = tempfile.mkdtemp(prefix="drs_bench_idx_")
+    try:
+        pages = pages_df(spark, n_pages)
+        t0 = time.time()
+        build_index(spark, pages, idx_dir, n_shards=max(cpus, 8))
+        build_sec = time.time() - t0
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    timings["index_build"] = round(build_sec, 3)
+
+    total = round(time.time() - t_total0, 3)
+    out = {
+        "metric": "index-build + query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "index_build": {
+            "pages": n_pages,
+            "seconds": round(build_sec, 3),
+            "docs_per_sec": round(n_pages / build_sec, 1),
+            "cores": cpus,
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

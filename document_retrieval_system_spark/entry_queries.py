@@ -555,6 +555,36 @@ JOIN sizes nb ON cm.id_b = nb.id
 WHERE round(n_common * 1.0 / (na.n + nb.n - n_common), 6) >= 0.4"""
 
 
+def q_dedup_jaccard3(spark, sf_dir):
+    """Word-3-gram Jaccard (threshold 0.6): rare shingles keep the
+    self-join small — the scale-appropriate variant."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), ngram=3, threshold=0.6)
+
+
+SQL_DEDUP_JACCARD3 = "WITH " + SQL_TOKS + """,
+g AS (
+  SELECT doc_id AS id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END) AS grams
+  FROM toks
+),
+s AS (SELECT id, unnest(grams) AS sh FROM g WHERE len(grams) > 0),
+sizes AS (SELECT id, count(*) AS n FROM s GROUP BY id),
+cm AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM s a JOIN s b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (na.n + nb.n - n_common), 6) AS jaccard
+FROM cm
+JOIN sizes na ON cm.id_a = na.id
+JOIN sizes nb ON cm.id_b = nb.id
+WHERE round(n_common * 1.0 / (na.n + nb.n - n_common), 6) >= 0.6"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash signatures (tf-weighted bit majority over md5 bits)."""
     return dedup.simhash(_docs(spark, sf_dir), bits=32)
@@ -838,6 +868,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_ngram_jaccard3": (q_dedup_jaccard3, SQL_DEDUP_JACCARD3),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),

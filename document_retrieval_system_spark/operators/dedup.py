@@ -53,20 +53,31 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n_hashes: int = 8, ngram: int = 3) -> DataFrame:
-    """(id, minhash array) over word-ngram shingles; md5-family hashes."""
-    shingles = F.array_distinct(word_ngrams(simple_tokens(F.col(text_col)), ngram))
+    """(id, minhash array) over word-ngram shingles; md5-family hashes.
 
-    def seeded_hash(seed: int):
-        # NB: must stay a 1-arg lambda — F.transform treats 2-arg lambdas
-        # as (element, index) and would silently shadow the seed.
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-
-    sigs = F.array(
-        *[F.array_min(F.transform(shingles, seeded_hash(j))) for j in range(n_hashes)]
+    Relational form on purpose: explode shingles once, then ONE groupBy
+    with n_hashes min-aggregates.  (A nested array expression
+    ``array(array_min(transform(shingles, md5)) x 8)`` re-derives the
+    shingle array per element — Catalyst does not CSE across array
+    elements — which measured ~60x slower.)  Map-side partial mins make
+    the shuffle tiny: n_hashes x 32 bytes per doc.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_ngrams(simple_tokens(F.col(text_col)), ngram))
+        ).alias("sh"),
     )
-    return df.select(
-        F.col(id_col), F.size(shingles).alias("n_shingles"), sigs.alias("minhash")
-    ).filter(F.col("n_shingles") > 0)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    sig = sh.groupBy("id").agg(F.count("*").alias("n_shingles"), *aggs)
+    return sig.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("minhash"),
+    )
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",

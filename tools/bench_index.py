@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Standalone index-build throughput probe at a fixed core count.
+
+Usage: python tools/bench_index.py --cores 8 --pages 20000
+Prints one JSON line {"cores": N, "pages": P, "seconds": S, "docs_per_sec": D}.
+Run in its own process per core count (one JVM = one master setting).
+"""
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--pages", type=int, default=20000)
+    ap.add_argument("--shards", type=int, default=32)
+    args = ap.parse_args()
+
+    from document_retrieval_system_spark.operators.index_build import build_index
+    from document_retrieval_system_spark.session import get_spark
+    from document_retrieval_system_spark.sources.corpus import pages_df
+
+    spark = get_spark("drs-scaling", master=f"local[{args.cores}]",
+                      shuffle_partitions=2 * args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up so JVM/Arrow startup is excluded from the measured window
+    pages_df(spark, 200).count()
+
+    idx = tempfile.mkdtemp(prefix="drs_scale_idx_")
+    try:
+        t0 = time.time()
+        build_index(spark, pages_df(spark, args.pages), idx, n_shards=args.shards)
+        sec = time.time() - t0
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    print(json.dumps({
+        "cores": args.cores, "pages": args.pages,
+        "seconds": round(sec, 3), "docs_per_sec": round(args.pages / sec, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
