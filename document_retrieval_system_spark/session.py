@@ -40,7 +40,7 @@ def get_spark(
             n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 0
         except ValueError:
             n = 0
-        shuffle_partitions = max(2 * n, 32) if n else 64
+        shuffle_partitions = max(n, 32) if n else 64
 
     b = (
         SparkSession.builder.appName(app_name)

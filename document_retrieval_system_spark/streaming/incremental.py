@@ -73,28 +73,30 @@ def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     docs = docs.withColumn(
         "local_no", (F.row_number().over(w) - 1).cast("long") + off_expr
     )
-    tok = tokenize_docs(docs).persist()
-    try:
-        tok.select(
-            "shard", "local_no", "doc_id", "url", "warc_ts", "lang",
-            "title", "text", "doc_len",
-        ).write.partitionBy("shard").mode("append").parquet(paths.docs)
-        build_postings(doc_term_rows(tok)).write.partitionBy("shard").mode(
-            "append"
-        ).parquet(paths.postings)
-        tok.groupBy("shard").agg(
-            F.count("*").alias("docs_parsed"),
-            F.sum(F.when(F.col("doc_len") > 0, 1).otherwise(0)).alias("docs_indexed"),
-        ).withColumn("postings_emitted", F.lit(None).cast("long")) \
-         .withColumn("blocks", F.lit(None).cast("long")) \
-         .withColumn("doc_bytes", F.lit(None).cast("long")) \
-         .withColumn("tf_bytes", F.lit(None).cast("long")) \
-         .withColumn("dl_bytes", F.lit(None).cast("long")) \
-         .withColumn("pos_bytes", F.lit(None).cast("long")) \
-         .withColumn("status", F.lit(f"stream-batch-{batch_id}")) \
-         .coalesce(1).write.mode("append").parquet(paths.manifest)
-    finally:
-        tok.unpersist()
+    # localCheckpoint (eager) truncates lineage: tok's plan reads
+    # paths.docs for the upsert guard, and the docs append below would
+    # otherwise poison any recomputation (the re-read guard would see the
+    # batch's own rows and filter the whole batch out of the postings
+    # write).  On a cluster use checkpoint() with a reliable dir instead.
+    tok = tokenize_docs(docs).localCheckpoint(eager=True)
+    tok.select(
+        "shard", "local_no", "doc_id", "url", "warc_ts", "lang",
+        "title", "text", "doc_len",
+    ).write.partitionBy("shard").mode("append").parquet(paths.docs)
+    build_postings(doc_term_rows(tok)).write.partitionBy("shard").mode(
+        "append"
+    ).parquet(paths.postings)
+    tok.groupBy("shard").agg(
+        F.count("*").alias("docs_parsed"),
+        F.sum(F.when(F.col("doc_len") > 0, 1).otherwise(0)).alias("docs_indexed"),
+    ).withColumn("postings_emitted", F.lit(None).cast("long")) \
+     .withColumn("blocks", F.lit(None).cast("long")) \
+     .withColumn("doc_bytes", F.lit(None).cast("long")) \
+     .withColumn("tf_bytes", F.lit(None).cast("long")) \
+     .withColumn("dl_bytes", F.lit(None).cast("long")) \
+     .withColumn("pos_bytes", F.lit(None).cast("long")) \
+     .withColumn("status", F.lit(f"stream-batch-{batch_id}")) \
+     .coalesce(1).write.mode("append").parquet(paths.manifest)
 
 
 def run_incremental(spark: SparkSession, incoming_dir: str, index_dir: str,

@@ -1,0 +1,119 @@
+"""Dedup family + ANN operators on the synthetic corpus (which contains
+engineered exact duplicates every 53rd page)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from document_retrieval_system_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus_pages):
+    """documents-shaped df from extracted synthetic pages."""
+    from document_retrieval_system_spark.sources.html_extract import extract_html
+
+    rows = []
+    for i, (url, _ts, html, lang) in enumerate(corpus_pages):
+        rows.append((i, extract_html(html, url)["content"], lang))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates_found(docs_df, corpus_pages):
+    groups = dedup.exact_duplicate_groups(docs_df).collect()
+    # engineered clones: pages 53, 106, 159, 212 clone their predecessor
+    dup_members = {r["keep_id"] for r in groups}
+    assert {52, 105, 158, 211} & dup_members, groups
+    for g in groups:
+        assert g["n_dups"] >= 2
+
+
+def test_exact_dedup_keeps_min_id(docs_df):
+    n_before = docs_df.count()
+    deduped = dedup.exact_dedup(docs_df)
+    n_after = deduped.count()
+    assert n_after < n_before
+    # survivors must include the min doc_id of each clone pair
+    ids = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    assert 52 in ids and 53 not in ids
+
+
+def test_minhash_lsh_finds_clones(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs_df).collect()
+    }
+    # identical EN docs share every band -> must be candidates (ZH clones
+    # are invisible to the [a-z] simple analyzer — covered by exact dedup)
+    assert (52, 53) in pairs
+    assert (211, 212) in pairs
+
+
+def test_jaccard_verifies_clones(docs_df):
+    pairs = dedup.ngram_jaccard_pairs(docs_df, ngram=3, threshold=0.9).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got.get((52, 53)) == pytest.approx(1.0)
+
+
+def test_simhash_identical_docs_same_signature(docs_df):
+    sig = {r["doc_id"]: r["simhash_bits"] for r in dedup.simhash(docs_df).collect()}
+    assert sig[52] == sig[53]
+    assert len(sig[52]) == 32 and set(sig[52]) <= {"0", "1"}
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 32)).astype(np.float32)
+    rows = [(int(i), base[i].tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = base[0].tolist()
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(emb, q, k=10, sig_bits=12, hamming_probe=5).collect()
+    ]
+    assert exact[0] == 0  # self-match is rank 1
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (exact, approx)
+
+
+def test_lsh_is_deterministic(spark):
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = base[1].tolist()
+    a = [tuple(r) for r in similarity.lsh_topk(emb, q, k=5).collect()]
+    b = [tuple(r) for r in similarity.lsh_topk(emb, q, k=5).collect()]
+    assert a == b
+
+
+def test_embedding_neardup_pairs(spark):
+    v = [1.0, 0.0, 0.0, 0.0]
+    almost = [0.999, 0.04, 0.0, 0.0]
+    ortho = [0.0, 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, v), (2, almost), (3, ortho)], "vec_id long, embedding array<float>"
+    )
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_multimodal_feature_plumbing(spark):
+    from document_retrieval_system_spark.sources.multimodal import (
+        extract_features,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, 32)
+    feats = extract_features(media).collect()
+    assert len(feats) == 32
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0
+    # deterministic: same payload -> same feature
+    again = {r["media_id"]: list(r["feature"]) for r in extract_features(media).collect()}
+    first = {r["media_id"]: list(r["feature"]) for r in feats}
+    assert again == first

@@ -7,10 +7,13 @@ Run in its own process per core count (one JVM = one master setting).
 """
 import argparse
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -25,7 +28,7 @@ def main() -> None:
     from document_retrieval_system_spark.sources.corpus import pages_df
 
     spark = get_spark("drs-scaling", master=f"local[{args.cores}]",
-                      shuffle_partitions=2 * args.cores)
+                      shuffle_partitions=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up so JVM/Arrow startup is excluded from the measured window
     pages_df(spark, 200).count()

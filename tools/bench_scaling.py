@@ -26,15 +26,15 @@ def probe(cores: int, pages: int) -> dict:
 
 
 def main() -> None:
-    pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
-    lo = probe(8, pages)
-    hi = probe(32, pages)
+    pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1000000"))
+    lo = probe(4, pages)
+    hi = probe(16, pages)
     eff = (lo["seconds"] / hi["seconds"]) / 4.0
     result = {
         "pages": pages,
-        "local8": lo,
-        "local32": hi,
-        "speedup_8_to_32": round(lo["seconds"] / hi["seconds"], 3),
+        "local4": lo,
+        "local16": hi,
+        "speedup_4_to_16": round(lo["seconds"] / hi["seconds"], 3),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }
@@ -43,7 +43,7 @@ def main() -> None:
     with open(md, "a") as fh:
         fh.write(
             f"\n| {pages} | {lo['docs_per_sec']} | {hi['docs_per_sec']} "
-            f"| {result['speedup_8_to_32']}x | {result['scaling_efficiency']} |\n"
+            f"| {result['speedup_4_to_16']}x | {result['scaling_efficiency']} |\n"
         )
 
 
