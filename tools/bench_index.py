@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Standalone index-build throughput probe at a fixed core count.
 
-Usage: python tools/bench_index.py --cores 8 --pages 20000
-Prints one JSON line {"cores": N, "pages": P, "seconds": S, "docs_per_sec": D}.
+Usage: python tools/bench_index.py --cores 8 --pages 200000 [--runs 2]
+Prints one JSON line with per-run seconds and the steady-state best.
 Run in its own process per core count (one JVM = one master setting).
+The first run includes JVM JIT warm-up; with --runs 2 the best (warm)
+run is reported as steady-state throughput.
 """
 import argparse
 import json
@@ -19,8 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
-    ap.add_argument("--pages", type=int, default=20000)
+    ap.add_argument("--pages", type=int, default=200000)
     ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
     from document_retrieval_system_spark.operators.index_build import build_index
@@ -30,19 +33,23 @@ def main() -> None:
     spark = get_spark("drs-scaling", master=f"local[{args.cores}]",
                       shuffle_partitions=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up so JVM/Arrow startup is excluded from the measured window
+    # spin up Python workers / Arrow path before the measured window
     pages_df(spark, 200).count()
 
-    idx = tempfile.mkdtemp(prefix="drs_scale_idx_")
-    try:
-        t0 = time.time()
-        build_index(spark, pages_df(spark, args.pages), idx, n_shards=args.shards)
-        sec = time.time() - t0
-    finally:
-        shutil.rmtree(idx, ignore_errors=True)
+    times = []
+    for _ in range(args.runs):
+        idx = tempfile.mkdtemp(prefix="drs_scale_idx_")
+        try:
+            t0 = time.time()
+            build_index(spark, pages_df(spark, args.pages), idx,
+                        n_shards=args.shards)
+            times.append(round(time.time() - t0, 3))
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+    best = min(times)
     print(json.dumps({
-        "cores": args.cores, "pages": args.pages,
-        "seconds": round(sec, 3), "docs_per_sec": round(args.pages / sec, 1),
+        "cores": args.cores, "pages": args.pages, "runs": times,
+        "seconds": best, "docs_per_sec": round(args.pages / best, 1),
     }))
     spark.stop()
 
