@@ -55,6 +55,32 @@ def main() -> None:
         builder(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
 
+    # query latency percentiles (BASELINE.md "query p95 at rank-identical
+    # top-k"): repeated BM25 WAND queries against the prebuilt index over
+    # the documents table (the same index the correctness gate verifies)
+    from document_retrieval_system_spark.entry_queries import (
+        BM25_TERMS,
+        _ensure_entry_index,
+    )
+    from document_retrieval_system_spark.operators.wand import bm25_wand_search
+    from document_retrieval_system_spark.operators.textstats import simple_process_text
+
+    wand_reader = _ensure_entry_index(spark, sf_dir)
+    lat: list[float] = []
+    latency_queries = [" ".join(BM25_TERMS), "data scan", "join filter table", "query"]
+    for rep in range(3):
+        for ql in latency_queries:
+            t0 = time.time()
+            bm25_wand_search(wand_reader, ql, "en", 20, 0.0,
+                             analyzer=simple_process_text).collect()
+            if rep > 0:  # first pass warms plans/caches
+                lat.append(time.time() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+    timings["query_p50"] = round(p50, 3)
+    timings["query_p95"] = round(p95, 3)
+
     # index-build throughput: pages -> extract -> tokenize -> compressed
     # sharded index (the north-star metric, docs/sec)
     idx_dir = tempfile.mkdtemp(prefix="drs_bench_idx_")
@@ -80,6 +106,7 @@ def main() -> None:
             "docs_per_sec": round(n_pages / build_sec, 1),
             "cores": cpus,
         },
+        "query_latency_sec": {"p50": round(p50, 3), "p95": round(p95, 3)},
     }
     print(json.dumps(out))
     spark.stop()

@@ -341,11 +341,16 @@ def finalize_index(spark: SparkSession, paths: IndexPaths) -> None:
     from document_retrieval_system_spark.operators.search import flat_postings
 
     n_docs = corpus.collect()[0]["total_docs"]
-    flat = flat_postings(blocks, with_positions=False)
     ts = spark.read.parquet(paths.term_stats)
-    weighted = (
-        flat.join(ts.select("term", "df"), "term")
-        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    # join df at BLOCK granularity (one row per term-block, ~100x fewer
+    # rows than postings), then decode with idf attached — the per-doc
+    # groupBy is the only posting-cardinality shuffle in this pass
+    blocks_with_df = blocks.select(
+        "shard", "term", "n", "doc_bytes", "tf_bytes", "dl_bytes"
+    ).join(ts.select("term", "df"), "term")
+    flat = flat_postings(blocks_with_df, with_positions=False, extra_cols=["df"])
+    weighted = flat.withColumn(
+        "w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     )
     norms = (
         weighted.groupBy("shard", "local_no")

@@ -46,16 +46,23 @@ FLAT_SCHEMA = "shard int, term string, local_no long, tf int, doc_len int"
 FLAT_POS_SCHEMA = FLAT_SCHEMA + ", positions array<int>"
 
 
-def flat_postings(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+def flat_postings(blocks: DataFrame, with_positions: bool = False,
+                  extra_cols: list[str] | None = None) -> DataFrame:
     """Decode compressed blocks back to one row per (term, doc) posting.
 
     Column pruning matters: without positions the scan never reads
-    pos_bytes (check .explain ReadSchema).
+    pos_bytes (check .explain ReadSchema).  ``extra_cols`` are block-level
+    columns replicated onto every posting row (e.g. a pre-joined ``df``),
+    which lets callers join tiny block-cardinality data BEFORE the
+    posting-cardinality explosion.
     """
-    cols = ["shard", "term", "n", "doc_bytes", "tf_bytes", "dl_bytes"]
+    extra_cols = extra_cols or []
+    cols = ["shard", "term", "n", "doc_bytes", "tf_bytes", "dl_bytes"] + extra_cols
     if with_positions:
         cols.append("pos_bytes")
     src = blocks.select(*cols)
+    extra_schema = "".join(f", {c} double" for c in extra_cols)
+    out_schema = (FLAT_POS_SCHEMA if with_positions else FLAT_SCHEMA) + extra_schema
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from document_retrieval_system_spark.operators.codec import decode_positions
@@ -63,6 +70,7 @@ def flat_postings(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
         for pdf in batches:
             out_shard, out_term, out_doc, out_tf, out_dl = [], [], [], [], []
             out_pos = []
+            out_extra: dict[str, list] = {c: [] for c in extra_cols}
             for row in pdf.itertuples(index=False):
                 docs = delta_decode(vb_decode(row.doc_bytes)).astype(np.int64)
                 tfs = vb_decode(row.tf_bytes).astype(np.int32)
@@ -72,6 +80,10 @@ def flat_postings(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
                 out_doc.append(docs)
                 out_tf.append(tfs)
                 out_dl.append(dls)
+                for c in extra_cols:
+                    out_extra[c].append(
+                        np.full(docs.size, float(getattr(row, c)), dtype=np.float64)
+                    )
                 if with_positions:
                     out_pos.extend(
                         [p.astype(np.int32).tolist() for p in
@@ -84,7 +96,8 @@ def flat_postings(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
                      "local_no": pd.Series(dtype="int64"),
                      "tf": pd.Series(dtype="int32"),
                      "doc_len": pd.Series(dtype="int32"),
-                     **({"positions": pd.Series(dtype="object")} if with_positions else {})}
+                     **({"positions": pd.Series(dtype="object")} if with_positions else {}),
+                     **{c: pd.Series(dtype="float64") for c in extra_cols}}
                 )
                 continue
             data = {
@@ -96,9 +109,11 @@ def flat_postings(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
             }
             if with_positions:
                 data["positions"] = out_pos
+            for c in extra_cols:
+                data[c] = np.concatenate(out_extra[c])
             yield pd.DataFrame(data)
 
-    return src.mapInPandas(decode, FLAT_POS_SCHEMA if with_positions else FLAT_SCHEMA)
+    return src.mapInPandas(decode, out_schema)
 
 
 def _term_weights(reader, terms: list[str], scheme: str) -> tuple[dict, dict]:

@@ -268,6 +268,70 @@ class OracleEngine:
                     break
         return result
 
+    def boolean_rpn(self, query: str) -> set[str]:
+        """B3-B5 full boolean language over the oracle index.
+
+        Parsing follows boolean_model.py:62-189 exactly (shared lexer /
+        shunting-yard from operators.boolean_rpn).  Evaluation follows
+        :259-361 with one documented fix: the reference's NEAR branch
+        (:339-343) indexes its positional map with ``term_string in
+        set_of_doc_ids`` — a type confusion that returns empty for every
+        query — so NEAR here uses the intended position-distance
+        semantics (identical to :346-349 / our ``near``) when both
+        operands are bare terms, else set intersection.
+        """
+        from document_retrieval_system_spark.operators.boolean_rpn import (
+            TokenType,
+            to_rpn,
+            tokenize_query,
+        )
+
+        rpn = to_rpn(tokenize_query(query))
+        if not rpn:
+            return set()
+        all_docs = set(self.idx.doc_lengths.keys())
+        stack: list[set[str]] = []
+        term_of: dict[int, str] = {}
+
+        def push(s: set[str], term: str | None = None) -> None:
+            stack.append(s)
+            if term is not None:
+                term_of[id(s)] = term
+
+        for token in rpn:
+            if token.type == TokenType.TERM:
+                push(set(self.idx.get_postings(token.value)), token.value)
+            elif token.type == TokenType.PHRASE:
+                push(self.phrase(token.value.lower().split()))
+            elif token.type == TokenType.AND:
+                if len(stack) < 2:
+                    return set()
+                right, left = stack.pop(), stack.pop()
+                push(left & right)
+            elif token.type == TokenType.OR:
+                if len(stack) < 2:
+                    return set()
+                right, left = stack.pop(), stack.pop()
+                push(left | right)
+            elif token.type == TokenType.NOT:
+                if len(stack) < 1:
+                    return set()
+                push(all_docs - stack.pop())
+            elif token.type == TokenType.NEAR:
+                if len(stack) < 2:
+                    return set()
+                try:
+                    distance = int(token.value.split("/")[1])
+                except (IndexError, ValueError):
+                    distance = 5
+                right, left = stack.pop(), stack.pop()
+                lt, rt = term_of.get(id(left)), term_of.get(id(right))
+                if lt is not None and rt is not None:
+                    push(self.near(lt, rt, distance))
+                else:
+                    push(left & right)
+        return stack[0] if len(stack) == 1 else set()
+
     def near(self, term_a: str, term_b: str, distance: int = 5) -> set[str]:
         """boolean_model.py:313-354 — |pos_a - pos_b| <= k."""
         docs_a = set(self.idx.get_postings(term_a))

@@ -105,8 +105,13 @@ _FILTERED_BLOCKS = [
 ]
 
 
-def gen_page(i: int, seed: int = 42) -> tuple[str, dt.datetime, bytes, str]:
-    """Generate page ``i`` deterministically: (url, warc_ts, html, lang)."""
+def gen_page(i: int, seed: int = 42,
+             size_scale: int = 1) -> tuple[str, dt.datetime, bytes, str]:
+    """Generate page ``i`` deterministically: (url, warc_ts, html, lang).
+
+    ``size_scale`` multiplies paragraph counts — benchmarks use >1 for
+    realistic Common-Crawl-ish page sizes; tests keep 1.
+    """
     rng = random.Random((seed << 32) ^ i)
     lang = "zh" if i % 3 == 0 else "en"
     url = f"https://site{i % 97}.example.com/{lang}/page/{i}"
@@ -118,7 +123,7 @@ def gen_page(i: int, seed: int = 42) -> tuple[str, dt.datetime, bytes, str]:
     brng = random.Random((seed << 32) ^ body_idx ^ 0xBEEF)
 
     title_words = (_zh_sentence(brng, 3) if lang == "zh" else _en_sentence(brng, 5))
-    paras = _paragraphs(brng, lang, brng.randint(2, 7))
+    paras = _paragraphs(brng, lang, brng.randint(2, 7) * size_scale)
     short_para = "tiny" if lang == "en" else "短句"
     long_heading = (_zh_sentence(brng, 4) if lang == "zh" else _en_sentence(brng, 6))
     short_heading = "Hi"  # len <= 5: must be skipped by the extractor
@@ -189,12 +194,12 @@ def gen_pages_pandas(n: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def pages_df(spark, n: int, seed: int = 42):
+def pages_df(spark, n: int, seed: int = 42, size_scale: int = 1):
     """Distributed generation: each executor task generates its id range."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].tolist()
-            rows = [gen_page(int(i), seed) for i in ids]
+            rows = [gen_page(int(i), seed, size_scale) for i in ids]
             yield pd.DataFrame(
                 {
                     "url": [r[0] for r in rows],

@@ -1,0 +1,154 @@
+"""File-system ingestion sources (SURVEY.md §2.1 S1-S3) and maintenance
+operators (I5 delete, I10 statistics).
+
+The reference scans a directory per extension and dispatches to format
+parsers (datasource_manager.py:270-303, :160-244).  The Spark-native
+equivalent reads raw files with the ``binaryFile`` source (distributed,
+split-planned by Spark) and routes per extension into the pages schema;
+HTML flows through the byte-identity extractor, ``.txt`` is decoded
+directly (S3, datasource_manager.py:192-210 — title = basename, content =
+utf-8 text).  PDF/DOCX/XLSX (S5-S7) are out of scope for the webtext tier
+(SURVEY.md non-goals); their hook is the same dispatch table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SUPPORTED_EXTENSIONS = [".html", ".htm", ".txt"]
+
+
+def read_pages_from_files(
+    spark: SparkSession,
+    path: str,
+    extensions: list[str] | None = None,
+    default_lang: str = "zh",
+) -> DataFrame:
+    """S1+S2: recursive binary-file scan -> pages(url, warc_ts, html, text, lang).
+
+    - ``url``: the file path (doc_id = md5(url), matching the reference's
+      md5-of-path doc ids, datasource_manager.py:246-258);
+    - ``warc_ts``: file modification time (the reference's
+      ``last_modified`` mtime, :44);
+    - html files land in ``html`` (extractor fills ``text`` later);
+    - txt files are decoded straight into ``text`` (S3).
+    """
+    extensions = extensions or SUPPORTED_EXTENSIONS
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    lower = F.lower(F.col("path"))
+    is_ext = None
+    for e in extensions:
+        cond = lower.endswith(e)
+        is_ext = cond if is_ext is None else (is_ext | cond)
+    raw = raw.filter(is_ext)
+    is_txt = lower.endswith(".txt")
+    return raw.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.when(~is_txt, F.col("content")).alias("html"),
+        F.when(is_txt, F.decode(F.col("content"), "UTF-8")).alias("text"),
+        F.lit(default_lang).alias("lang"),
+    )
+
+
+def delete_documents(spark: SparkSession, index_dir: str, urls: list[str],
+                     n_shards: int | None = None, analyzer=None) -> None:
+    """I5 (indexer.py:95-143): remove documents and repair the index.
+
+    The reference walks every posting list in RAM; distributed, deletion
+    is a *partition rewrite of only the affected shards*: drop the doc
+    rows, rebuild those shards' postings from the retained docs' stored
+    text (anti-join semantics), then re-run the global-stat finalize —
+    exactly the Iceberg DELETE + affected-partition rewrite mapping from
+    SURVEY.md §2.3.
+    """
+    import hashlib
+
+    from document_retrieval_system_spark.operators.analyze import doc_term_rows
+    from document_retrieval_system_spark.operators.index_build import (
+        IndexPaths,
+        build_postings,
+        finalize_index,
+        tokenize_docs,
+    )
+
+    paths = IndexPaths(index_dir)
+    doc_ids = [hashlib.md5(u.encode("utf-8")).hexdigest() for u in urls]
+    docs = spark.read.parquet(paths.docs)
+    affected = sorted(
+        r["shard"]
+        for r in docs.filter(F.col("doc_id").isin(doc_ids))
+        .select("shard").distinct().collect()
+    )
+    if not affected:
+        return
+
+    # retained docs of the affected shards, re-analyzed from stored text
+    keep = docs.filter(
+        F.col("shard").isin(affected) & ~F.col("doc_id").isin(doc_ids)
+    )
+    pages_like = keep.select(
+        "url", "warc_ts",
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang", "doc_id", "shard", "local_no",
+    )
+    tok = tokenize_docs(pages_like, analyzer=analyzer).localCheckpoint(eager=True)
+
+    # overwrite only the affected shard partitions (dynamic overwrite)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        tok.select(
+            "shard", "local_no", "doc_id", "url", "warc_ts", "lang",
+            "title", "text", "doc_len",
+        ).repartition(len(affected), "shard").write.partitionBy("shard").mode(
+            "overwrite"
+        ).parquet(paths.docs)
+        build_postings(doc_term_rows(tok)).repartition(
+            len(affected), "shard"
+        ).sortWithinPartitions("term", "block_no").write.partitionBy("shard").mode(
+            "overwrite"
+        ).parquet(paths.postings)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    finalize_index(spark, paths)
+
+
+def index_statistics(reader) -> dict:
+    """I10 (retrieval_core.py:271-316): corpus totals + per-lang counts +
+    compression/lineage counters from the manifest."""
+    corpus = reader.corpus()
+    by_lang = {
+        r["lang"]: r["count"]
+        for r in reader.docs().groupBy("lang").count().collect()
+    }
+    m = reader.manifest().agg(
+        F.sum("docs_parsed").alias("docs_parsed"),
+        F.sum("postings_emitted").alias("postings"),
+        F.sum("blocks").alias("blocks"),
+        (F.sum("doc_bytes") + F.sum("tf_bytes") + F.sum("dl_bytes")
+         + F.sum("pos_bytes")).alias("compressed_bytes"),
+    ).collect()[0]
+    n_terms = reader.term_stats().count()
+    return {
+        **corpus,
+        "unique_terms": n_terms,
+        "docs_by_lang": by_lang,
+        "docs_parsed": m["docs_parsed"],
+        "postings": m["postings"],
+        "blocks": m["blocks"],
+        "compressed_bytes": m["compressed_bytes"],
+    }
+
+
+def sort_results_by_time(results: DataFrame, docs: DataFrame) -> DataFrame:
+    """R7 (retrieval_core.py:160-165): optional post-sort on warc_ts desc."""
+    return (
+        results.join(docs.select("shard", "local_no", "warc_ts"), ["shard", "local_no"])
+        .orderBy(F.desc("warc_ts"), F.asc("doc_id"))
+    )

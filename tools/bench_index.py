@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=200000)
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--scale", type=int, default=3,
+                    help="page size multiplier (realistic CC-ish pages)")
     args = ap.parse_args()
 
     from document_retrieval_system_spark.operators.index_build import build_index
@@ -41,14 +43,14 @@ def main() -> None:
         idx = tempfile.mkdtemp(prefix="drs_scale_idx_")
         try:
             t0 = time.time()
-            build_index(spark, pages_df(spark, args.pages), idx,
+            build_index(spark, pages_df(spark, args.pages, size_scale=args.scale), idx,
                         n_shards=args.shards)
             times.append(round(time.time() - t0, 3))
         finally:
             shutil.rmtree(idx, ignore_errors=True)
     best = min(times)
     print(json.dumps({
-        "cores": args.cores, "pages": args.pages, "runs": times,
+        "cores": args.cores, "pages": args.pages, "scale": args.scale, "runs": times,
         "seconds": best, "docs_per_sec": round(args.pages / best, 1),
     }))
     spark.stop()

@@ -34,7 +34,7 @@ def probe(cores: int, pages: int) -> dict:
 
 
 def main() -> None:
-    pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "400000"))
+    pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "250000"))
     lo = probe(4, pages)
     hi = probe(16, pages)
     eff = (lo["seconds"] / hi["seconds"]) / 4.0
