@@ -23,7 +23,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--pages", type=int, default=200000)
     ap.add_argument("--shards", type=int, default=32)
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--scale", type=int, default=3,
                     help="page size multiplier (realistic CC-ish pages)")
     args = ap.parse_args()
@@ -32,15 +32,21 @@ def main() -> None:
     from document_retrieval_system_spark.session import get_spark
     from document_retrieval_system_spark.sources.corpus import pages_df
 
+    extra = {}
+    if os.path.isdir("/dev/shm"):  # keep shuffle/spill off the shared disk
+        os.makedirs("/dev/shm/drs_spark_local", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/drs_spark_local"
     spark = get_spark("drs-scaling", master=f"local[{args.cores}]",
-                      shuffle_partitions=args.cores)
+                      shuffle_partitions=args.cores, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     # spin up Python workers / Arrow path before the measured window
     pages_df(spark, 200).count()
 
+    # tmpfs keeps host-disk contention out of the measurement
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     times = []
     for _ in range(args.runs):
-        idx = tempfile.mkdtemp(prefix="drs_scale_idx_")
+        idx = tempfile.mkdtemp(prefix="drs_scale_idx_", dir=tmp_root)
         try:
             t0 = time.time()
             build_index(spark, pages_df(spark, args.pages, size_scale=args.scale), idx,
