@@ -15,11 +15,15 @@ Implementations live in document_retrieval_system_spark/entry_queries.py.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from document_retrieval_system_spark.entry_queries import QUERIES
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from document_retrieval_system_spark.entry_queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -127,9 +127,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         F.explode(F.array_distinct(word_ngrams(simple_tokens(F.col(text_col)), ngram))).alias("sh"),
     )
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n"))
+    # a shingle with df=1 cannot produce a pair — pruning it first keeps
+    # the self-join's key space to actually-shared shingles (big win when
+    # most n-grams are unique, i.e. always, for n>=3 web text)
+    shared = shingled.groupBy("sh").count().filter(F.col("count") > 1).select("sh")
+    pair_src = shingled.join(shared, "sh", "left_semi")
     common = (
-        shingled.alias("a")
-        .join(shingled.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        pair_src.alias("a")
+        .join(pair_src.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
