@@ -16,8 +16,6 @@ Spark mapping of SURVEY.md §2.2 (T1-T6) and §2.3 I1:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BinaryType, StringType

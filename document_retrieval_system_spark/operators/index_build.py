@@ -4,10 +4,11 @@ Replaces the reference's single-threaded dict mutation
 (indexer.py:377-426 + add_document :44-93) with a two-shuffle Spark plan:
 
   pages ──map── doc_id=md5(url), shard=pmod(xxhash64(doc_id), n_shards)
+        ──map── ONE fused Arrow UDF: extract_text -> tokenize -> per-doc
+                term stats (I1, indexer.py:59-67), positions pre-varbyte'd;
+                html dropped here so no shuffle ever moves page bytes
         ──shuffle 1── row_number over (shard, doc_id)  -> dense local_no
-        ──map── extract_text (Arrow UDF) -> tokenize (Arrow UDF)
-        ──map── per-doc term stats (I1, indexer.py:59-67; NO shuffle)
-        ──shuffle 2── groupBy(shard, term).applyInPandas
+        ──shuffle 2── repartition(shard, term) + sorted-run mapInPandas
                       -> delta+varbyte posting blocks with block-max
                          metadata (max_tf, min_dl)
         ──write── postings/ docs/ partitioned by shard, sorted by term
@@ -48,13 +49,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from document_retrieval_system_spark.operators.analyze import doc_term_rows, tokenize_udf
+from document_retrieval_system_spark.operators.analyze import doc_term_rows
 from document_retrieval_system_spark.operators.codec import (
     BLOCK_SIZE,
     delta_encode,
     vb_encode,
 )
-from document_retrieval_system_spark.sources.html_extract import with_extracted_text
 
 POSTINGS_SCHEMA = (
     "shard int, term string, block_no int, n int, first_doc long, last_doc long, "
@@ -206,6 +206,15 @@ class IndexPaths:
         self.manifest = os.path.join(index_dir, "manifest")
 
 
+def _read_postings_or_empty(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """Postings table, or an empty frame when no blocks exist yet (a wave
+    whose documents all tokenize empty writes no posting files)."""
+    try:
+        return spark.read.parquet(paths.postings)
+    except Exception:
+        return spark.createDataFrame([], POSTINGS_SCHEMA)
+
+
 def _done_shards(spark: SparkSession, paths: IndexPaths) -> set[int]:
     try:
         rows = spark.read.parquet(paths.manifest).select("shard").collect()
@@ -284,7 +293,7 @@ def build_index(
                 F.count("*").alias("docs_parsed"),
                 F.sum(F.when(F.col("doc_len") > 0, 1).otherwise(0)).alias("docs_indexed"),
             )
-            blk = spark.read.parquet(paths.postings).filter(
+            blk = _read_postings_or_empty(spark, paths).filter(
                 F.col("shard").isin([int(s) for s in wave])
             )
             blk_agg = blk.groupBy("shard").agg(
@@ -312,7 +321,7 @@ def finalize_index(spark: SparkSession, paths: IndexPaths) -> None:
     incremental wave, mirroring the reference's compute_doc_weights after
     every build, indexer.py:423)."""
     docs = spark.read.parquet(paths.docs)
-    blocks = spark.read.parquet(paths.postings)
+    blocks = _read_postings_or_empty(spark, paths)
 
     # corpus stats (I4): only docs with tokens count (indexer.py:53-54,86-90)
     corpus = docs.filter(F.col("doc_len") > 0).agg(
@@ -370,7 +379,7 @@ class IndexReader:
         return self.spark.read.parquet(self.paths.docs)
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.postings)
+        return _read_postings_or_empty(self.spark, self.paths)
 
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.term_stats)
@@ -385,6 +394,6 @@ class IndexReader:
         row = self.spark.read.parquet(self.paths.corpus_stats).collect()[0]
         return {
             "total_docs": row["total_docs"],
-            "avg_doc_length": float(row["avg_doc_length"]),
+            "avg_doc_length": float(row["avg_doc_length"] or 0.0),
             "total_tokens": row["total_tokens"],
         }
