@@ -89,6 +89,19 @@ def main() -> None:
         t0 = time.time()
         build_index(spark, pages, idx_dir, n_shards=max(cpus, 8))
         build_sec = time.time() - t0
+        from document_retrieval_system_spark.operators.index_build import IndexReader
+        from pyspark.sql import functions as F
+
+        m = IndexReader(spark, idx_dir).manifest().agg(
+            F.sum("postings_emitted").alias("p"),
+            (F.sum("doc_bytes") + F.sum("tf_bytes") + F.sum("dl_bytes")).alias("core"),
+            F.sum("pos_bytes").alias("pos"),
+        ).collect()[0]
+        compression = {
+            "postings": int(m["p"]),
+            "bytes_per_posting_core": round(m["core"] / m["p"], 3),
+            "bytes_per_posting_with_positions": round((m["core"] + m["pos"]) / m["p"], 3),
+        }
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
     timings["index_build"] = round(build_sec, 3)
@@ -105,6 +118,7 @@ def main() -> None:
             "seconds": round(build_sec, 3),
             "docs_per_sec": round(n_pages / build_sec, 1),
             "cores": cpus,
+            "compression": compression,
         },
         "query_latency_sec": {"p50": round(p50, 3), "p95": round(p95, 3)},
     }

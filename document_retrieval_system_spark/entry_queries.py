@@ -734,7 +734,9 @@ def _entry_index_dir(sf_dir: str) -> str:
     import hashlib as _h
     import tempfile
 
-    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    from document_retrieval_system_spark.operators.codec import FORMAT_VERSION
+
+    tag = _h.md5(f"{sf_dir}|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"drs_entry_index_{tag}")
 
 
@@ -780,6 +782,36 @@ def q_r3_bm25_wand(spark, sf_dir):
         F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
         F.round("score", 6).alias("score"),
     ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def q_b5_boolean_rpn(spark, sf_dir):
+    """B3-B5: full boolean language '(data OR scan) AND join NOT filter'
+    evaluated by the RPN stack machine over the compressed index."""
+    from document_retrieval_system_spark.operators.boolean_rpn import (
+        boolean_rpn_search,
+    )
+
+    reader = _ensure_entry_index(spark, sf_dir)
+    hits = boolean_rpn_search(reader, "(data OR scan) AND join NOT filter")
+    docs = reader.docs().select("shard", "local_no", "url")
+    return (
+        hits.join(docs, ["shard", "local_no"])
+        .select(F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_B5_RPN = "WITH " + SQL_TFS + """,
+s_data AS (SELECT doc_id FROM tfs WHERE term = 'data'),
+s_scan AS (SELECT doc_id FROM tfs WHERE term = 'scan'),
+s_join AS (SELECT doc_id FROM tfs WHERE term = 'join'),
+s_filter AS (SELECT doc_id FROM tfs WHERE term = 'filter')
+SELECT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT doc_id FROM s_data UNION SELECT doc_id FROM s_scan
+  ) INTERSECT SELECT doc_id FROM s_join
+  EXCEPT SELECT doc_id FROM s_filter
+) ORDER BY doc_id"""
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -859,6 +891,7 @@ QUERIES = {
     "b2_boolean_and": (q_b2_boolean_and, SQL_B2_AND),
     "b2_boolean_or": (q_b2_boolean_or, SQL_B2_OR),
     "b2_boolean_not": (q_b2_boolean_not, SQL_B2_NOT),
+    "b5_boolean_rpn": (q_b5_boolean_rpn, SQL_B5_RPN),
     "b7_phrase": (q_b7_phrase, SQL_B7),
     "b6_near": (q_b6_near, SQL_B6),
     "u2_boost_rescore": (q_u2_boost_rescore, SQL_U2),

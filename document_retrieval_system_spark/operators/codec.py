@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 BLOCK_SIZE = 128  # postings per block (block-max WAND granularity)
+FORMAT_VERSION = 2  # bump on any on-disk posting layout change
 
 
 def vb_encode(values: np.ndarray) -> bytes:
