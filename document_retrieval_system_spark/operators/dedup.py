@@ -119,19 +119,23 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                        ngram: int = 3, threshold: float = 0.6) -> DataFrame:
+                        ngram: int = 3, threshold: float = 0.6,
+                        prune_unique_shingles: bool = False) -> DataFrame:
     """Exact Jaccard over word-ngram shingle sets for pairs sharing >=1
-    shingle.  At scale, feed LSH candidates instead of the raw self-join."""
+    shingle.  At corpus scale, feed LSH candidates instead of the raw
+    self-join.  ``prune_unique_shingles`` drops df=1 shingles before the
+    join (they cannot form pairs) — worth its two extra shuffles only
+    when the join's output would otherwise explode (heavily duplicated
+    corpora); measured slower on mostly-unique corpora."""
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngrams(simple_tokens(F.col(text_col)), ngram))).alias("sh"),
     )
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n"))
-    # a shingle with df=1 cannot produce a pair — pruning it first keeps
-    # the self-join's key space to actually-shared shingles (big win when
-    # most n-grams are unique, i.e. always, for n>=3 web text)
-    shared = shingled.groupBy("sh").count().filter(F.col("count") > 1).select("sh")
-    pair_src = shingled.join(shared, "sh", "left_semi")
+    pair_src = shingled
+    if prune_unique_shingles:
+        shared = shingled.groupBy("sh").count().filter(F.col("count") > 1).select("sh")
+        pair_src = shingled.join(shared, "sh", "left_semi")
     common = (
         pair_src.alias("a")
         .join(pair_src.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
