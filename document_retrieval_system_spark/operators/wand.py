@@ -119,18 +119,22 @@ def _shard_kernel(pdf: pd.DataFrame, weights: dict[str, float], avgdl: float,
         hit = np.nonzero((firsts <= e) & (lasts >= s))[0]
         if hit.size == 0:
             continue
-        seg_scores: dict[int, float] = {}
-        per_doc: dict[int, float] = seg_scores
+        part_docs: list[np.ndarray] = []
+        part_scores: list[np.ndarray] = []
         for bi in hit:
             docs, scores = block_scores(int(bi))
             lo = np.searchsorted(docs, s, side="left")
             hi = np.searchsorted(docs, e, side="right")
-            for d, sc in zip(docs[lo:hi], scores[lo:hi]):
-                per_doc[int(d)] = per_doc.get(int(d), 0.0) + float(sc)
-        if not per_doc:
+            if hi > lo:
+                part_docs.append(docs[lo:hi])
+                part_scores.append(scores[lo:hi])
+        if not part_docs:
             continue
-        d_arr = np.fromiter(per_doc.keys(), dtype=np.int64, count=len(per_doc))
-        s_arr = np.fromiter(per_doc.values(), dtype=np.float64, count=len(per_doc))
+        seg_docs = np.concatenate(part_docs)
+        seg_part = np.concatenate(part_scores)
+        d_arr, inv = np.unique(seg_docs, return_inverse=True)
+        s_arr = np.zeros(d_arr.size, dtype=np.float64)
+        np.add.at(s_arr, inv, seg_part)
         keep = s_arr >= min_score
         if keep.any():
             acc_docs.append(d_arr[keep])

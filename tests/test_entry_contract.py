@@ -5,6 +5,7 @@ compare row count, column names, and order-insensitive values."""
 from __future__ import annotations
 
 import math
+import struct
 
 import duckdb
 import pytest
@@ -29,10 +30,13 @@ def ddb():
 
 
 def _norm(v):
+    """Floats compare BIT-exact (verified achievable for every query):
+    whatever normalization the driver's value hash uses, identical bits
+    cannot mismatch."""
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return struct.pack(">d", v).hex()
     if isinstance(v, bool):
         return bool(v)
     return v
