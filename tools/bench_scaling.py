@@ -37,7 +37,7 @@ def probe(cores: int, pages: int) -> dict:
 
 
 def main() -> None:
-    pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "100000"))
+    pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "250000"))
     lo = probe(2, pages)
     hi = probe(8, pages)
     eff = (lo["seconds"] / hi["seconds"]) / 4.0
