@@ -146,6 +146,31 @@ def index_statistics(reader) -> dict:
     }
 
 
+def register_index_views(reader, prefix: str = "drs") -> list[str]:
+    """Expose the index as Spark SQL temp views for ad-hoc analytics:
+
+        {prefix}_docs, {prefix}_postings (compressed blocks),
+        {prefix}_postings_flat (decoded, one row per posting),
+        {prefix}_term_stats, {prefix}_manifest
+
+    e.g. ``spark.sql("SELECT term, df FROM drs_term_stats ORDER BY df
+    DESC LIMIT 10")``.  The flat view decodes lazily — a filtered query
+    still pushes the term predicate into the block scan underneath.
+    """
+    from document_retrieval_system_spark.operators.search import flat_postings
+
+    views = {
+        f"{prefix}_docs": reader.docs(),
+        f"{prefix}_postings": reader.postings(),
+        f"{prefix}_postings_flat": flat_postings(reader.postings(), with_positions=True),
+        f"{prefix}_term_stats": reader.term_stats(),
+        f"{prefix}_manifest": reader.manifest(),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)
+
+
 def sort_results_by_time(results: DataFrame, docs: DataFrame) -> DataFrame:
     """R7 (retrieval_core.py:160-165): optional post-sort on warc_ts desc."""
     return (

@@ -141,6 +141,25 @@ def test_index_statistics_i10(reader):
     assert stats["postings"] > 0
 
 
+def test_register_index_views_sql_surface(spark, reader, oracle_engine):
+    from document_retrieval_system_spark.sources.tables import register_index_views
+
+    names = register_index_views(reader)
+    assert "drs_postings_flat" in names
+    # SQL over the decoded index reproduces oracle df counts
+    row = spark.sql(
+        "SELECT count(*) AS df FROM drs_postings_flat WHERE term = '数据'"
+    ).collect()[0]
+    assert row["df"] == oracle_engine.idx.get_doc_freq("数据")
+    top = spark.sql(
+        "SELECT term, df FROM drs_term_stats ORDER BY df DESC, term LIMIT 5"
+    ).collect()
+    oracle_top = sorted(
+        oracle_engine.idx.doc_freqs.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:5]
+    assert [(r["term"], r["df"]) for r in top] == oracle_top
+
+
 def test_sort_results_by_time_r7(reader):
     from document_retrieval_system_spark.operators.search import bm25_search
     from document_retrieval_system_spark.sources.tables import sort_results_by_time
