@@ -164,7 +164,7 @@ def q_i3_term_stats(spark, sf_dir):
 
 
 SQL_I3 = "WITH " + SQL_TFS + """
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tfs GROUP BY term"""
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tfs GROUP BY term"""
 
 
 def q_i4_corpus_stats(spark, sf_dir):
@@ -182,7 +182,7 @@ def q_i4_corpus_stats(spark, sf_dir):
 
 SQL_I4 = "WITH " + SQL_TOKS + """
 SELECT count(*) AS total_docs, round(avg(len(toks)), 6) AS avg_doc_len,
-       sum(len(toks)) AS total_tokens
+       sum(len(toks))::BIGINT AS total_tokens
 FROM toks WHERE len(toks) > 0"""
 
 
