@@ -500,89 +500,103 @@ SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text) HAVING count(*) > 1"""
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash (8 md5-family hashes over word-3-gram shingles) + LSH
-    (4 bands x 2 rows) candidate pairs."""
-    return dedup.minhash_lsh_candidates(
-        _docs(spark, sf_dir), n_hashes=8, band_size=2, ngram=3
+BUCKET_CAP = 1000  # LSH band-bucket skew cap, Spark and oracle alike
+
+
+def _sql_grams(ngram: int) -> str:
+    """DuckDB expression for distinct word-ngram shingles over `toks`."""
+    if ngram == 1:
+        return "list_distinct(toks)"
+    concat = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(ngram)
+    )
+    return (
+        f"list_distinct(CASE WHEN len(toks) >= {ngram} "
+        f"THEN list_transform(range(1, len(toks) - {ngram - 2}), i -> {concat}) "
+        f"ELSE [] END)"
     )
 
 
-SQL_DEDUP_MINHASH = "WITH " + SQL_TOKS + """,
-grams AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(toks) >= 3
-           THEN list_transform(range(1, len(toks) - 1),
-                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           ELSE [] END) AS grams
-  FROM toks
-),
+def _sql_minhash_cand(ngram: int, n_hashes: int, band_size: int, cap: int) -> str:
+    """CTE chain toks->grams->shing->mh->bands->cand mirroring
+    dedup.minhash_lsh_candidates (md5 hash family, banded equi-join,
+    bucket cap) exactly."""
+    return SQL_TOKS + f""",
+grams AS (SELECT doc_id, {_sql_grams(ngram)} AS grams FROM toks),
 shing AS (SELECT doc_id, unnest(grams) AS sh FROM grams WHERE len(grams) > 0),
 mh AS (
   SELECT doc_id, j, min(md5(j::VARCHAR || '|' || sh)) AS mh
-  FROM shing CROSS JOIN (SELECT unnest(range(8)) AS j) seeds
+  FROM shing CROSS JOIN (SELECT unnest(range({n_hashes})) AS j) seeds
   GROUP BY doc_id, j
 ),
 bands AS (
-  SELECT doc_id, j // 2 AS band_id, string_agg(mh, '|' ORDER BY j) AS band_key
-  FROM mh GROUP BY doc_id, j // 2
+  SELECT doc_id, j // {band_size} AS band_id, string_agg(mh, '|' ORDER BY j) AS band_key
+  FROM mh GROUP BY doc_id, j // {band_size}
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (8 md5-family hashes over word-3-gram shingles) + LSH
+    (4 bands x 2 rows, band buckets capped) candidate pairs."""
+    return dedup.minhash_lsh_candidates(
+        _docs(spark, sf_dir), n_hashes=8, band_size=2, ngram=3,
+        bucket_cap=BUCKET_CAP,
+    )
+
+
+SQL_DEDUP_MINHASH = (
+    "WITH " + _sql_minhash_cand(3, 8, 2, BUCKET_CAP)
+    + "\nSELECT id_a, id_b FROM cand"
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+
+def _sql_lsh_jaccard(ngram: int, threshold: float,
+                     n_hashes: int = 16, band_size: int = 2,
+                     cap: int = BUCKET_CAP) -> str:
+    """Oracle for the candidate-fed exact-Jaccard pipeline."""
+    return "WITH " + _sql_minhash_cand(ngram, n_hashes, band_size, cap) + f""",
+gs AS (SELECT doc_id, grams FROM grams WHERE len(grams) > 0),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.grams, b.grams)) AS common,
+         len(a.grams) AS n_a, len(b.grams) AS n_b
+  FROM cand c JOIN gs a ON c.id_a = a.doc_id JOIN gs b ON c.id_b = b.doc_id
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (n_a + n_b - common), 6) AS jaccard
+FROM ver
+WHERE round(common * 1.0 / (n_a + n_b - common), 6) >= {threshold}"""
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    """Token-set Jaccard pairs (n=1 shingles, threshold 0.4); the 3-gram
-    variant runs on the synthetic corpus in pytest where true near-dups
-    exist."""
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), ngram=1, threshold=0.4)
+    """Scale-safe near-dup pipeline, 2-gram variant: MinHash-LSH
+    candidates (16 hashes, 8 bands of 2, bucket cap) -> exact Jaccard
+    verify on candidates only.  Replaces r1's raw 1-gram self-join
+    (quadratic in the df of the most common token)."""
+    return dedup.lsh_jaccard_pairs(
+        _docs(spark, sf_dir), ngram=2, threshold=0.4,
+        n_hashes=16, band_size=2, bucket_cap=BUCKET_CAP,
+    )
 
 
-SQL_DEDUP_JACCARD = "WITH " + SQL_TOKS + """,
-s AS (SELECT doc_id AS id, unnest(list_distinct(toks)) AS sh FROM toks),
-sizes AS (SELECT id, count(*) AS n FROM s GROUP BY id),
-cm AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-  FROM s a JOIN s b ON a.sh = b.sh AND a.id < b.id
-  GROUP BY a.id, b.id
-)
-SELECT id_a, id_b,
-       round(n_common * 1.0 / (na.n + nb.n - n_common), 6) AS jaccard
-FROM cm
-JOIN sizes na ON cm.id_a = na.id
-JOIN sizes nb ON cm.id_b = nb.id
-WHERE round(n_common * 1.0 / (na.n + nb.n - n_common), 6) >= 0.4"""
+SQL_DEDUP_JACCARD = _sql_lsh_jaccard(2, 0.4)
 
 
 def q_dedup_jaccard3(spark, sf_dir):
-    """Word-3-gram Jaccard (threshold 0.6): rare shingles keep the
-    self-join small — the scale-appropriate variant."""
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), ngram=3, threshold=0.6)
+    """Scale-safe near-dup pipeline, 3-gram variant at J >= 0.6."""
+    return dedup.lsh_jaccard_pairs(
+        _docs(spark, sf_dir), ngram=3, threshold=0.6,
+        n_hashes=16, band_size=2, bucket_cap=BUCKET_CAP,
+    )
 
 
-SQL_DEDUP_JACCARD3 = "WITH " + SQL_TOKS + """,
-g AS (
-  SELECT doc_id AS id,
-         list_distinct(CASE WHEN len(toks) >= 3
-           THEN list_transform(range(1, len(toks) - 1),
-                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           ELSE [] END) AS grams
-  FROM toks
-),
-s AS (SELECT id, unnest(grams) AS sh FROM g WHERE len(grams) > 0),
-sizes AS (SELECT id, count(*) AS n FROM s GROUP BY id),
-cm AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-  FROM s a JOIN s b ON a.sh = b.sh AND a.id < b.id
-  GROUP BY a.id, b.id
-)
-SELECT id_a, id_b,
-       round(n_common * 1.0 / (na.n + nb.n - n_common), 6) AS jaccard
-FROM cm
-JOIN sizes na ON cm.id_a = na.id
-JOIN sizes nb ON cm.id_b = nb.id
-WHERE round(n_common * 1.0 / (na.n + nb.n - n_common), 6) >= 0.6"""
+SQL_DEDUP_JACCARD3 = _sql_lsh_jaccard(3, 0.6)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -590,7 +604,7 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=32)
 
 
-SQL_DEDUP_SIMHASH = "WITH " + SQL_POS + """,
+_SQL_SIMHASH_SIG = SQL_POS + """,
 tf AS (SELECT doc_id, term AS tok, count(*) AS tf FROM pos GROUP BY doc_id, term),
 bits AS (
   SELECT doc_id, bit,
@@ -600,10 +614,50 @@ bits AS (
                   THEN tf ELSE -tf END) AS v
   FROM tf CROSS JOIN (SELECT unnest(range(32)) AS bit) b
   GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash_bits
+  FROM bits GROUP BY doc_id
+)"""
+
+SQL_DEDUP_SIMHASH = (
+    "WITH " + _SQL_SIMHASH_SIG + "\nSELECT doc_id, simhash_bits FROM sig"
 )
-SELECT doc_id,
-       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash_bits
-FROM bits GROUP BY doc_id"""
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 4 pigeonhole bands of 8 bits -> banded
+    candidates (bucket-capped) -> exact Hamming verify <= 3."""
+    return dedup.simhash_neardup_pairs(
+        _docs(spark, sf_dir), bits=32, max_hamming=3, n_bands=4,
+        bucket_cap=BUCKET_CAP,
+    )
+
+
+SQL_SIMHASH_PAIRS = "WITH " + _SQL_SIMHASH_SIG + f""",
+sbands AS (
+  SELECT doc_id, 0 AS band_id, substr(simhash_bits, 1, 8) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, substr(simhash_bits, 9, 8) FROM sig
+  UNION ALL SELECT doc_id, 2, substr(simhash_bits, 17, 8) FROM sig
+  UNION ALL SELECT doc_id, 3, substr(simhash_bits, 25, 8) FROM sig
+),
+scap AS (
+  SELECT * FROM sbands
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {BUCKET_CAP}
+),
+scand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM scap a JOIN scap b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(range(1, 33),
+                         i -> substr(sa.simhash_bits, i, 1) <> substr(sb.simhash_bits, i, 1))) AS hamming
+  FROM scand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3"""
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -632,24 +686,71 @@ FROM dots CROSS JOIN qn
 ORDER BY cosine DESC, vec_id LIMIT 10"""
 
 
+EMB_SIG_BITS, EMB_BAND_SIZE, EMB_SEED, EMB_DIM = 64, 8, 7, 64
+
+
 def q_emb_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.9)."""
-    return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.9)
+    """Embedding-cosine near-dup pairs (cosine >= 0.9), LSH-banded:
+    64-bit hyperplane signature -> 8 bands of 8 -> banded candidates
+    (bucket-capped) -> exact cosine verify on candidates only.
+    Replaces r1's O(n^2) brute-force pair join.  8-bit bands keep the
+    random-pair candidate rate ~3% (measured 90% with 2-bit bands)
+    while missing a true cosine-0.9 pair with prob (1-0.857^8)^8 ≈ 1e-2."""
+    return dedup.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.9, sig_bits=EMB_SIG_BITS,
+        band_size=EMB_BAND_SIZE, seed=EMB_SEED, bucket_cap=BUCKET_CAP,
+    )
 
 
-SQL_EMB_NEARDUP = """
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
-  FROM embeddings
+def _sql_emb_neardup(threshold: float = 0.9) -> str:
+    """Oracle twin of the LSH-banded embedding near-dup: the numpy-seeded
+    hyperplanes ship as literal DOUBLE[] rows so DuckDB computes the
+    exact same signatures (ordered list_sum folds match Spark's ordered
+    aggregate fold bit-for-bit)."""
+    planes = similarity.hyperplanes(EMB_DIM, EMB_SIG_BITS, EMB_SEED)
+    rows = ",\n    ".join(
+        "(" + str(j) + ", [" + ", ".join(repr(float(x)) for x in planes[j]) + "]::DOUBLE[])"
+        for j in range(EMB_SIG_BITS)
+    )
+    n_bands = EMB_SIG_BITS // EMB_BAND_SIZE
+    return f"""
+WITH planes(bit, w) AS (VALUES
+    {rows}),
+sig AS (
+  SELECT e.vec_id,
+         string_agg(
+           CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                             i -> e.embedding[i]::DOUBLE * p.w[i])) >= 0
+                THEN '1' ELSE '0' END, '' ORDER BY p.bit) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id
 ),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         sum(a.x * b.x) AS dot, sum(a.x * a.x) AS na, sum(b.x * b.x) AS nb
-  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id
+ebands AS (
+  SELECT vec_id, b AS band_id,
+         substr(sig, b * {EMB_BAND_SIZE} + 1, {EMB_BAND_SIZE}) AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(range({n_bands})) AS b)
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {BUCKET_CAP}
+),
+ecand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ebands a JOIN ebands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                 i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE))) AS nb
+  FROM ecand c
+  JOIN embeddings ea ON c.id_a = ea.vec_id
+  JOIN embeddings eb ON c.id_b = eb.vec_id
 )
-SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
-FROM pairs WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.9"""
+SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine
+FROM ver WHERE round(dot / (na * nb), 6) >= {threshold}"""
+
+
+SQL_EMB_NEARDUP = _sql_emb_neardup(0.9)
 
 
 def q_ta_langid(spark, sf_dir):
@@ -730,28 +831,68 @@ FROM g"""
 # Spark-only entries (no SQL-expressible oracle -> driver rows-only check)
 # ---------------------------------------------------------------------------
 
-def _entry_index_dir(sf_dir: str) -> str:
+# Bump when analyzer / index-build logic changes so stale cached entry
+# artifacts (shared temp dir across driver runs) are never reused.
+ENTRY_CACHE_VERSION = 2
+
+
+def _content_fingerprint(path: str) -> str:
+    """size:mtime fingerprint of a parquet file (or every file under a
+    parquet dir) — changed data at the same path must miss the cache."""
+    import glob
+
+    if os.path.isdir(path):
+        files = sorted(
+            p for p in glob.glob(os.path.join(path, "**"), recursive=True)
+            if os.path.isfile(p)
+        )
+    else:
+        files = [path]
+    parts = []
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    return "|".join(parts)
+
+
+def _entry_cache_dir(kind: str, sf_dir: str, src_file: str, extra: str = "") -> str:
     import hashlib as _h
     import tempfile
 
     from document_retrieval_system_spark.operators.codec import FORMAT_VERSION
 
-    tag = _h.md5(f"{sf_dir}|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"drs_entry_index_{tag}")
+    fp = _content_fingerprint(os.path.join(sf_dir, src_file))
+    tag = _h.md5(
+        f"{sf_dir}|{fp}|v{FORMAT_VERSION}|e{ENTRY_CACHE_VERSION}|{extra}".encode()
+    ).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"drs_entry_{kind}_{tag}")
+
+
+def _publish_cache_dir(tmp: str, final: str) -> None:
+    """Atomically promote a staged cache dir; lose the race gracefully."""
+    import shutil
+
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(final):
+            raise
 
 
 def _ensure_entry_index(spark, sf_dir: str):
-    """Build (once per sf_dir) a compressed sharded index over the
-    documents table using the SQL-expressible analyzer, so the WAND query
-    below is checkable against the DuckDB BM25 oracle."""
+    """Build (once per documents.parquet content) a compressed sharded
+    index using the SQL-expressible analyzer, so the WAND query below is
+    checkable against the DuckDB BM25 oracle.  Staged into a unique temp
+    dir and renamed into place so concurrent drivers can't interleave."""
     from document_retrieval_system_spark.operators.index_build import (
         IndexReader,
         build_index,
     )
 
-    idx = _entry_index_dir(sf_dir)
-    marker = os.path.join(idx, "_done")
-    if not os.path.exists(marker):
+    idx = _entry_cache_dir("index", sf_dir, "documents.parquet")
+    if not os.path.exists(idx):
+        tmp = f"{idx}.tmp-{os.getpid()}"
         docs = _docs(spark, sf_dir)
         pages = docs.select(
             F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
@@ -760,10 +901,27 @@ def _ensure_entry_index(spark, sf_dir: str):
             F.col("text"),
             F.lit("en").alias("lang"),
         )
-        build_index(spark, pages, idx, n_shards=8, analyzer=simple_process_text)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        build_index(spark, pages, tmp, n_shards=8, analyzer=simple_process_text)
+        _publish_cache_dir(tmp, idx)
     return IndexReader(spark, idx)
+
+
+ANN_SIG_BITS, ANN_BUCKET_BITS, ANN_PROBE, ANN_SEED = 12, 6, 4, 7
+
+
+def _ensure_ann_index(spark, sf_dir: str) -> str:
+    """Persist (once per embeddings.parquet content) the LSH-bucketed ANN
+    index: parquet partitioned by the signature's 6-bit prefix."""
+    params = f"sb{ANN_SIG_BITS}-bb{ANN_BUCKET_BITS}-s{ANN_SEED}"
+    idx = _entry_cache_dir("ann", sf_dir, "embeddings.parquet", params)
+    if not os.path.exists(idx):
+        tmp = f"{idx}.tmp-{os.getpid()}"
+        similarity.build_lsh_index(
+            _emb(spark, sf_dir), tmp, sig_bits=ANN_SIG_BITS,
+            bucket_bits=ANN_BUCKET_BITS, seed=ANN_SEED,
+        )
+        _publish_cache_dir(tmp, idx)
+    return idx
 
 
 def q_r3_bm25_wand(spark, sf_dir):
@@ -815,13 +973,19 @@ SELECT doc_id FROM (
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """ANN scale path: random-hyperplane LSH bucketing + exact rerank."""
+    """ANN scale path: persisted LSH-bucketed index — the query scans
+    only the multi-probe partitions (partition pruning), refines by
+    stored-signature string Hamming, then exact-cosine-reranks the
+    survivors.  No signature is computed at query time."""
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.lsh_topk(
-        emb.filter(F.col("vec_id") > 0), [float(x) for x in qvec],
-        k=10, sig_bits=12, hamming_probe=4,
-    )
+    idx = _ensure_ann_index(spark, sf_dir)
+    return similarity.lsh_index_topk(
+        spark, idx, [float(x) for x in qvec], k=10,
+        sig_bits=ANN_SIG_BITS, bucket_bits=ANN_BUCKET_BITS,
+        hamming_probe=ANN_PROBE, seed=ANN_SEED,
+        pre_filter=F.col("vec_id") > 0,
+    ).select("vec_id", "cosine")
 
 
 def q_t8_highlights(spark, sf_dir):
@@ -903,6 +1067,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_ngram_jaccard3": (q_dedup_jaccard3, SQL_DEDUP_JACCARD3),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),
     "ta_langid": (q_ta_langid, SQL_TA_LANGID),

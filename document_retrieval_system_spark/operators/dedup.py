@@ -80,9 +80,44 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _cap_band_buckets(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Skew guard: drop (band_id, band_key) buckets larger than bucket_cap.
+
+    One degenerate band key (boilerplate / empty-ish docs) otherwise emits
+    m^2 pairs into a single reducer at corpus scale.  Dropped buckets lose
+    candidate recall only for keys so common they are boilerplate by
+    definition; exact dedup still catches byte-identical members."""
+    if bucket_cap is None:
+        return bands
+    w = Window.partitionBy("band_id", "band_key")
+    return (
+        bands.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= F.lit(bucket_cap))
+        .drop("_bsz")
+    )
+
+
+def _banded_pairs(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing >= 1 (band_id, band_key)."""
+    bands = _cap_band_buckets(bands, bucket_cap)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n_hashes: int = 8,
-                           band_size: int = 2, ngram: int = 3) -> DataFrame:
+                           band_size: int = 2, ngram: int = 3,
+                           bucket_cap: int | None = 1000) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes, ngram)
     n_bands = n_hashes // band_size
@@ -104,29 +139,74 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_key")
-    left = bands.alias("l")
-    right = bands.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+    return _banded_pairs(bands, bucket_cap)
+
+
+def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         ngram: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Exact word-ngram Jaccard restricted to candidate (id_a, id_b) pairs.
+
+    Scale shape: per-doc distinct shingle arrays join onto the candidate
+    list by id (two linear equi-joins keyed on doc id — broadcastable when
+    candidates are few), then ``array_intersect`` computes |A ∩ B| per
+    pair in one pass.  Cost is O(|candidates| * doc_len), never O(n^2):
+    the expensive exact check runs only on pairs an LSH pass surfaced.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            word_ngrams(simple_tokens(F.col(text_col)), ngram)
+        ).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    ga = grams.select(
+        F.col("id").alias("id_a"), F.col("grams").alias("ga"),
+        F.size("grams").alias("n_a"),
     )
+    gb = grams.select(
+        F.col("id").alias("id_b"), F.col("grams").alias("gb"),
+        F.size("grams").alias("n_b"),
+    )
+    common = F.size(F.array_intersect("ga", "gb"))
+    return (
+        candidates.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      ngram: int = 3, threshold: float = 0.6,
+                      n_hashes: int = 16, band_size: int = 2,
+                      bucket_cap: int | None = 1000) -> DataFrame:
+    """Scale-safe near-dup pipeline: MinHash-LSH candidates -> exact
+    Jaccard verify on candidates only.  The only pair source is the
+    banded equi-join (skew-capped); no raw shingle self-join appears in
+    the plan.  16 hashes / 8 bands of 2 keeps candidate recall at
+    J=0.6 above 97% (miss = (1 - 0.6^2)^8 ≈ 2.8e-2 per pair)."""
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, n_hashes=n_hashes, band_size=band_size,
+        ngram=ngram, bucket_cap=bucket_cap,
+    )
+    return jaccard_verify_pairs(df, cand, id_col, text_col, ngram, threshold)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         ngram: int = 3, threshold: float = 0.6,
                         prune_unique_shingles: bool = False) -> DataFrame:
-    """Exact Jaccard over word-ngram shingle sets for pairs sharing >=1
-    shingle.  At corpus scale, feed LSH candidates instead of the raw
-    self-join.  ``prune_unique_shingles`` drops df=1 shingles before the
-    join (they cannot form pairs) — worth its two extra shuffles only
-    when the join's output would otherwise explode (heavily duplicated
-    corpora); measured slower on mostly-unique corpora."""
+    """Exact all-pairs Jaccard via shingle self-join — O(sum df(sh)^2):
+    verification / tiny-corpus tool ONLY.  Production path is
+    ``lsh_jaccard_pairs`` (candidates -> verify); this stays as the
+    recall oracle for its tests.  ``prune_unique_shingles`` drops df=1
+    shingles before the join (they cannot form pairs) — worth its two
+    extra shuffles only when the join's output would otherwise explode
+    (heavily duplicated corpora); measured slower on mostly-unique
+    corpora."""
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngrams(simple_tokens(F.col(text_col)), ngram))).alias("sh"),
@@ -199,13 +279,67 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
-def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
-                            vec_col: str = "embedding",
-                            threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
+def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", bits: int = 32,
+                          max_hamming: int = 3, n_bands: int | None = None,
+                          bucket_cap: int | None = 1000) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Brute-force pair join for verification scale; at corpus scale, bucket
-    by LSH (similarity.py) first and verify within buckets.
+    Pigeonhole banding: the signature splits into n_bands (default
+    max_hamming + 1) contiguous substrings; a pair within Hamming
+    distance max_hamming differs in at most max_hamming bands, so it
+    agrees EXACTLY on >= 1 band — the banded equi-join is lossless for
+    the target radius while avoiding the O(n^2) pair join.  Exact
+    Hamming verify then runs on candidates only.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    sig = simhash(df, id_col, text_col, bits).withColumnRenamed(id_col, "id")
+    base, rem = divmod(bits, n_bands)
+    starts, lens, s = [], [], 1
+    for b in range(n_bands):
+        length = base + (1 if b < rem else 0)
+        starts.append(s)
+        lens.append(length)
+        s += length
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("simhash_bits", starts[b], lens[b]).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_key")
+    cand = _banded_pairs(bands, bucket_cap)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("simhash_bits").alias("sa"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("simhash_bits").alias("sb"))
+    ham = F.size(
+        F.filter(
+            F.zip_with(F.split("sa", ""), F.split("sb", ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    ).cast("long")
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs_exact(emb: DataFrame, id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  threshold: float = 0.95) -> DataFrame:
+    """Brute-force embedding-cosine pairs (a < b, cosine >= threshold).
+
+    O(n^2) pair join — recall oracle for tests / tiny inputs ONLY; the
+    production path is ``embedding_neardup_pairs`` (LSH-banded).
     """
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
@@ -220,6 +354,67 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95, sig_bits: int = 16,
+                            band_size: int = 2, seed: int = 7,
+                            bucket_cap: int | None = 1000) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-banded (the scale path).
+
+    Random-hyperplane signature (deterministic, seeded) -> banded
+    equi-join candidates (skew-capped) -> exact cosine verify on the
+    candidates only.  With 8 bands of 2 bits, a cosine-0.9 pair
+    (angle ≈ 25.8°, per-bit agreement ≈ 0.857) is missed with
+    probability (1 - 0.857^2)^8 ≈ 2e-5; everything surfaced is then
+    exactly verified, so precision is 1.0.
+    """
+    from document_retrieval_system_spark.operators.similarity import (
+        hyperplanes,
+        lsh_signature_col,
+    )
+
+    dim = len(emb.select(vec_col).head()[0])
+    planes = hyperplanes(dim, sig_bits, seed)
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    n_bands = sig_bits // band_size
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("sig", b * band_size + 1, band_size).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_key")
+    cand = _banded_pairs(bands, bucket_cap)
+    va = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

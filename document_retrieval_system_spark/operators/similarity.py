@@ -74,6 +74,77 @@ def lsh_signature_col(vec_col, planes: np.ndarray):
     return F.concat(*bits)
 
 
+def query_signature(query: list[float], planes: np.ndarray) -> str:
+    q = np.asarray(query, dtype=np.float64)
+    return "".join("1" if planes[i] @ q >= 0 else "0" for i in range(len(planes)))
+
+
+def hamming_ball(prefix: str, radius: int) -> list[str]:
+    """All bit strings within Hamming distance `radius` of `prefix`
+    (multi-probe bucket enumeration; |ball| = sum_{i<=r} C(n, i))."""
+    from itertools import combinations
+
+    out = []
+    for r in range(radius + 1):
+        for pos in combinations(range(len(prefix)), r):
+            s = list(prefix)
+            for p in pos:
+                s[p] = "1" if s[p] == "0" else "0"
+            out.append("".join(s))
+    return out
+
+
+def build_lsh_index(emb: DataFrame, index_dir: str, sig_bits: int = 16,
+                    bucket_bits: int = 8, seed: int = 7,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Persist embeddings partitioned by the signature's bucket_bits-bit
+    prefix — the signature becomes a physical partition key, so a query
+    reads only its multi-probe buckets (partition pruning at the scan),
+    never the full table.  The full signature is stored as a column for
+    the cheap string-Hamming refine before any dot product runs."""
+    dim = len(emb.select(vec_col).head()[0])
+    planes = hyperplanes(dim, sig_bits, seed)
+    (
+        emb.withColumn("sig", lsh_signature_col(F.col(vec_col), planes))
+        .withColumn("bucket", F.substring("sig", 1, bucket_bits))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+
+
+def lsh_index_topk(spark, index_dir: str, query: list[float], k: int = 10,
+                   sig_bits: int = 16, bucket_bits: int = 8,
+                   hamming_probe: int = 3, seed: int = 7,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   pre_filter=None) -> DataFrame:
+    """ANN over a persisted LSH-bucketed index.
+
+    1. bucket pruning: sig(q)'s prefix ± hamming_probe bits enumerates
+       the only partitions that can hold a candidate (full-sig Hamming
+       <= probe implies prefix Hamming <= probe) — the scan never
+       touches other buckets;
+    2. signature refine: stored-string Hamming vs sig(q) (no FP math);
+    3. exact cosine re-rank on the survivors only.
+    """
+    planes = hyperplanes(len(query), sig_bits, seed)
+    q_sig = query_signature(query, planes)
+    buckets = hamming_ball(q_sig[:bucket_bits], min(hamming_probe, bucket_bits))
+    df = spark.read.parquet(index_dir).filter(F.col("bucket").isin(buckets))
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
+    ham = sum(
+        F.when(F.substring("sig", i + 1, 1) == q_sig[i], 0).otherwise(1)
+        for i in range(sig_bits)
+    )
+    candidates = df.filter(ham <= hamming_probe)
+    return (
+        cosine_scores(candidates, query, id_col, vec_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, sig_bits: int = 16,
              hamming_probe: int = 3, seed: int = 7,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -10,12 +10,16 @@ top-k with **block-max pruning** per index shard:
    upper bound is ``w_t * tf_norm(max_tf, min_dl, avgdl)`` — valid for
    any avgdl because tf_norm is increasing in tf and decreasing in dl.
 3. A boundary sweep over block doc-ranges yields segments of the docID
-   axis with a constant sum of active block upper bounds.  Segments are
-   processed in descending upper-bound order; once the running top-k
-   threshold theta exceeds a segment's bound, all remaining segments —
-   and every block and posting inside them — are skipped WITHOUT being
-   decoded.  theta starts at min_score (:476) and tightens as the heap
-   fills, exactly WAND's adaptive threshold.
+   axis with a constant sum of active block upper bounds.  One cursor
+   pass per term's doc-ordered block list materializes, per segment,
+   the <= n_terms blocks active there (CSR index) — bound work is
+   O(segments x query_terms), independent of blocks-per-shard.
+   Segments are processed in descending upper-bound order; once the
+   running top-k threshold theta (size-k min-heap) exceeds a segment's
+   bound, all remaining segments — and every block and posting inside
+   them — are skipped WITHOUT being decoded.  theta starts at
+   min_score (:476) and tightens as the heap fills, exactly WAND's
+   adaptive threshold.
 4. Exact scores for surviving docs are computed vectorized (numpy
    searchsorted into decoded blocks), preserving the reference formula
    bit-for-bit.
@@ -58,8 +62,18 @@ def _tf_norm_scalar(tf: float, dl: float, avgdl: float) -> float:
 
 
 def _shard_kernel(pdf: pd.DataFrame, weights: dict[str, float], avgdl: float,
-                  k: int, min_score: float) -> pd.DataFrame:
-    """Block-max WAND over one shard's blocks for the query terms."""
+                  k: int, min_score: float,
+                  stats: dict | None = None) -> pd.DataFrame:
+    """Block-max WAND over one shard's blocks for the query terms.
+
+    Complexity: one cursor pass per term's (doc-sorted, disjoint) block
+    list builds a CSR segment->active-blocks index, so segment
+    processing touches only the <= n_query_terms blocks actually alive
+    in that segment — O(segments x terms) bound work total, not the
+    r1 kernel's O(segments x blocks) rescan (quadratic in blocks per
+    shard for long posting lists).  theta is maintained with a size-k
+    min-heap (O(log k) per candidate).
+    """
     if pdf.empty:
         return pd.DataFrame({"shard": [], "local_no": [], "score": []})
     shard = int(pdf["shard"].iloc[0])
@@ -79,6 +93,7 @@ def _shard_kernel(pdf: pd.DataFrame, weights: dict[str, float], avgdl: float,
 
     # Boundary sweep: piecewise-constant sum of active block bounds.
     bounds = np.unique(np.concatenate([firsts, lasts + 1]))
+    n_seg = bounds.size - 1
     seg_starts = bounds[:-1]
     seg_ends = bounds[1:] - 1  # inclusive
     delta = np.zeros(bounds.size, dtype=np.float64)
@@ -86,17 +101,39 @@ def _shard_kernel(pdf: pd.DataFrame, weights: dict[str, float], avgdl: float,
     np.add.at(delta, np.searchsorted(bounds, lasts + 1), -ub)
     seg_ub = np.cumsum(delta)[:-1]
 
+    # Per-term block cursors, materialized: every block boundary is in
+    # `bounds`, so block i is active in the contiguous segment range
+    # [blk_lo[i], blk_hi[i]].  One vectorized pass over each term's
+    # doc-ordered blocks emits the memberships; grouping them by segment
+    # (CSR) replaces the per-segment all-blocks mask.  Per segment at
+    # most one block per term is active (a term's blocks are disjoint),
+    # so total memberships <= n_seg * n_terms.
+    blk_lo = np.searchsorted(bounds, firsts)
+    blk_hi = np.searchsorted(bounds, lasts + 1) - 1
+    counts = blk_hi - blk_lo + 1
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    blk_mem = np.repeat(np.arange(counts.size), counts)
+    seg_mem = np.arange(offs[-1]) - np.repeat(offs[:-1], counts) + np.repeat(blk_lo, counts)
+    m_order = np.argsort(seg_mem, kind="stable")
+    seg_sorted = seg_mem[m_order]
+    blk_sorted = blk_mem[m_order]
+    csr_lo = np.searchsorted(seg_sorted, np.arange(n_seg), side="left")
+    csr_hi = np.searchsorted(seg_sorted, np.arange(n_seg), side="right")
+
     order = np.argsort(-seg_ub, kind="mergesort")  # process best segments first
 
+    # column extraction once (pdf.iloc per block is pathologically slow)
+    doc_bytes = pdf["doc_bytes"].tolist()
+    tf_bytes = pdf["tf_bytes"].tolist()
+    dl_bytes = pdf["dl_bytes"].tolist()
     decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # block row -> (docs, scores)
 
     def block_scores(i: int) -> tuple[np.ndarray, np.ndarray]:
         got = decoded.get(i)
         if got is None:
-            row = pdf.iloc[i]
-            docs = delta_decode(vb_decode(row["doc_bytes"])).astype(np.int64)
-            tfs = vb_decode(row["tf_bytes"]).astype(np.float64)
-            dls = vb_decode(row["dl_bytes"]).astype(np.float64)
+            docs = delta_decode(vb_decode(doc_bytes[i])).astype(np.int64)
+            tfs = vb_decode(tf_bytes[i]).astype(np.float64)
+            dls = vb_decode(dl_bytes[i]).astype(np.float64)
             scores = w_arr[i] * (
                 tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl))
             )
@@ -104,49 +141,92 @@ def _shard_kernel(pdf: pd.DataFrame, weights: dict[str, float], avgdl: float,
             decoded[i] = got
         return got
 
+    import heapq
+
     theta = min_score
     acc_docs: list[np.ndarray] = []
     acc_scores: list[np.ndarray] = []
-    kth_tracker: list[float] = []  # running candidate scores for theta
+    heap: list[float] = []  # size-k min-heap of the best candidate scores
 
     for si in order:
         if seg_ub[si] < min_score:
             break  # no doc in any remaining segment can reach min_score
-        if seg_ub[si] < theta and len(kth_tracker) >= k:
+        if seg_ub[si] < theta and len(heap) >= k:
             break  # all remaining segments are provably below threshold
-        s, e = seg_starts[si], seg_ends[si]
-        # blocks overlapping this segment
-        hit = np.nonzero((firsts <= e) & (lasts >= s))[0]
+        hit = blk_sorted[csr_lo[si]:csr_hi[si]]
         if hit.size == 0:
             continue
+        s, e = seg_starts[si], seg_ends[si]
+
+        # WAND essential lists at block granularity: sort the segment's
+        # active blocks by UB ascending; the maximal prefix with
+        # cumsum(UB) < theta is non-essential — a doc appearing ONLY in
+        # non-essential blocks is bounded below theta and can never
+        # enter the top-k, so candidates are generated from essential
+        # blocks alone.  Crucial when a rare term's block straddles a
+        # docID gap (its huge UB keeps seg_ub high although the segment
+        # holds no posting of it): the segment dies on an empty
+        # candidate set after decoding ONE block, instead of decoding
+        # every common-term block under it.  Sound because theta only
+        # grows and (kth of seen) <= (kth of all); excluded docs score
+        # strictly under theta so they cannot even tie the kth.
+        hub = ub[hit]
+        hs = np.argsort(hub, kind="stable")
+        cut = theta if len(heap) >= k else min_score
+        n_non = int(np.searchsorted(np.cumsum(hub[hs]), cut, side="left"))
+        ess = hit[hs[n_non:]]
+        non = hit[hs[:n_non]]
+        if ess.size == 0:
+            continue  # whole segment provably below threshold
+
+        cand_parts: list[np.ndarray] = []
+        for bi in ess:
+            docs, _ = block_scores(int(bi))
+            lo = np.searchsorted(docs, s, side="left")
+            hi = np.searchsorted(docs, e, side="right")
+            if hi > lo:
+                cand_parts.append(docs[lo:hi])
+        if not cand_parts:
+            continue  # no candidate: non-essential blocks stay undecoded
+        cand = np.unique(np.concatenate(cand_parts))
+        c_min, c_max = int(cand[0]), int(cand[-1])
+        probe = [
+            int(bi) for bi in non
+            if firsts[bi] <= c_max and lasts[bi] >= c_min  # else skip decode
+        ]
+        # contributions accumulate in ascending block-row order so the
+        # per-doc float summation order is bit-identical to the
+        # exhaustive scorer (pruning must not move scores even 1 ulp)
         part_docs: list[np.ndarray] = []
         part_scores: list[np.ndarray] = []
-        for bi in hit:
-            docs, scores = block_scores(int(bi))
+        for bi in sorted(probe + [int(b) for b in ess]):
+            docs, scores = block_scores(bi)
             lo = np.searchsorted(docs, s, side="left")
             hi = np.searchsorted(docs, e, side="right")
             if hi > lo:
                 part_docs.append(docs[lo:hi])
                 part_scores.append(scores[lo:hi])
-        if not part_docs:
-            continue
         seg_docs = np.concatenate(part_docs)
         seg_part = np.concatenate(part_scores)
         d_arr, inv = np.unique(seg_docs, return_inverse=True)
         s_arr = np.zeros(d_arr.size, dtype=np.float64)
         np.add.at(s_arr, inv, seg_part)
-        keep = s_arr >= min_score
+        keep = (s_arr >= min_score) & np.isin(d_arr, cand, assume_unique=True)
         if keep.any():
+            kept = s_arr[keep]
             acc_docs.append(d_arr[keep])
-            acc_scores.append(s_arr[keep])
-            kth_tracker.extend(s_arr[keep].tolist())
-            if len(kth_tracker) > 4 * k:  # keep tracker bounded
-                kth_tracker.sort(reverse=True)
-                del kth_tracker[2 * k:]
-            if len(kth_tracker) >= k:
-                theta = max(
-                    theta, sorted(kth_tracker, reverse=True)[k - 1]
-                )
+            acc_scores.append(kept)
+            for v in kept.tolist():
+                if len(heap) < k:
+                    heapq.heappush(heap, v)
+                elif v > heap[0]:
+                    heapq.heapreplace(heap, v)
+            if len(heap) >= k:
+                theta = max(theta, heap[0])
+
+    if stats is not None:
+        stats["total_blocks"] = int(counts.size)
+        stats["decoded_blocks"] = len(decoded)
 
     if not acc_docs:
         return pd.DataFrame({"shard": pd.Series(dtype="int32"),
