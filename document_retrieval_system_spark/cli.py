@@ -34,7 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="build or resume the index")
     b.add_argument("--pages", required=True, help="parquet dir of pages")
     b.add_argument("--index", required=True, help="index output dir")
-    b.add_argument("--shards", type=int, default=32)
+    b.add_argument("--shards", default="32",
+                   help="shard count, or 'auto' to size from the corpus "
+                        "(~250k docs/shard, power of two)")
     b.add_argument("--wave-size", type=int, default=None)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--synthetic", type=int, default=None,
@@ -74,7 +76,8 @@ def main(argv: list[str] | None = None) -> int:
                 pages = pages_df(spark, args.synthetic)
             else:
                 pages = spark.read.parquet(args.pages)
-            build_index(spark, pages, args.index, n_shards=args.shards,
+            n_shards = None if str(args.shards) == "auto" else int(args.shards)
+            build_index(spark, pages, args.index, n_shards=n_shards,
                         wave_size=args.wave_size, resume=args.resume)
             reader = IndexReader(spark, args.index)
             print(json.dumps({"corpus": reader.corpus()}))

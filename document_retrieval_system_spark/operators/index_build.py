@@ -206,28 +206,72 @@ class IndexPaths:
         self.manifest = os.path.join(index_dir, "manifest")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence via the Hadoop FileSystem API — correct for local paths
+    AND object stores (s3a://, gs://...), unlike os.path."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete via the Hadoop FileSystem API.  shutil.rmtree on
+    an s3:// URI is a silent no-op — a 'fresh' build would then append
+    onto the previous index."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def _read_postings_or_empty(spark: SparkSession, paths: IndexPaths) -> DataFrame:
     """Postings table, or an empty frame when no blocks exist yet (a wave
-    whose documents all tokenize empty writes no posting files)."""
-    try:
-        return spark.read.parquet(paths.postings)
-    except Exception:
+    whose documents all tokenize empty writes no posting files).  Only
+    the path-missing case maps to 'empty'; real read errors (corruption,
+    permissions, transient store failures) propagate instead of being
+    silently treated as an empty index."""
+    if not fs_exists(spark, paths.postings):
         return spark.createDataFrame([], POSTINGS_SCHEMA)
+    return spark.read.parquet(paths.postings)
 
 
 def _done_shards(spark: SparkSession, paths: IndexPaths) -> set[int]:
-    try:
-        rows = spark.read.parquet(paths.manifest).select("shard").collect()
-        return {r["shard"] for r in rows}
-    except Exception:
+    if not fs_exists(spark, paths.manifest):
         return set()
+    rows = spark.read.parquet(paths.manifest).select("shard").collect()
+    return {r["shard"] for r in rows}
+
+
+TARGET_DOCS_PER_SHARD = 250_000
+
+
+def auto_n_shards(n_docs: int) -> int:
+    """Shard count sized so each shard's docID-ordinal sort and WAND
+    kernel stay executor-local and bounded (~250k docs/shard):
+
+      corpus        shards   docs/shard
+      240 (tests)   8        30
+      10^6          8        125k
+      10^9          4096     ~244k
+      10^12         2^22     ~238k
+
+    Power of two so incremental growth re-shards predictably; floor of 8
+    keeps small builds parallel."""
+    import math
+
+    n = max(1, int(math.ceil(n_docs / TARGET_DOCS_PER_SHARD)))
+    return max(8, 1 << (n - 1).bit_length())
 
 
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
     index_dir: str,
-    n_shards: int = DEFAULT_N_SHARDS,
+    n_shards: int | None = DEFAULT_N_SHARDS,
     wave_size: int | None = None,
     resume: bool = False,
     finalize: bool = True,
@@ -235,20 +279,34 @@ def build_index(
 ) -> IndexPaths:
     """Build (or resume) the sharded compressed index under ``index_dir``.
 
+    ``n_shards=None``: derived from the input size via ``auto_n_shards``
+    (one counting pass over the source).
+
     ``wave_size``: shards per commit wave (None = all pending in one
     wave).  Each wave appends docs+postings partitions for its shards,
     then appends manifest rows — the manifest row IS the per-partition
     checkpoint; on resume, shards present in the manifest are skipped
-    without recomputation.
+    without recomputation.  Data partitions for shards NOT in the
+    manifest are deleted before reprocessing: a crash between the docs
+    append and the manifest commit leaves orphaned partitions that a
+    naive re-append would duplicate.
     """
     paths = IndexPaths(index_dir)
+    if n_shards is None:
+        n_shards = auto_n_shards(pages.count())
     done = _done_shards(spark, paths) if resume else set()
     pending = [s for s in range(n_shards) if s not in done]
     if not resume:
-        # fresh build: clear any previous index (overwrite semantics)
-        import shutil
-
-        shutil.rmtree(index_dir, ignore_errors=True)
+        # fresh build: clear any previous index (overwrite semantics);
+        # Hadoop FS delete so object-store paths clear too
+        fs_delete(spark, index_dir)
+    else:
+        # crash-window repair: drop partial partitions of unfinished
+        # shards (data-before-marker means no manifest row => the
+        # partition contents are not trustworthy)
+        for s in pending:
+            fs_delete(spark, os.path.join(paths.docs, f"shard={s}"))
+            fs_delete(spark, os.path.join(paths.postings, f"shard={s}"))
 
     waves = (
         [pending]

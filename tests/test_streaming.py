@@ -27,6 +27,75 @@ def dirs():
         shutil.rmtree(p, ignore_errors=True)
 
 
+def test_incremental_update_replaces_old_version(spark):
+    """A url re-sent with NEWER warc_ts must supersede the old version
+    everywhere: one doc row, no stale postings, stats not double-counted
+    (reference remove_document-then-add, indexer.py:405-411)."""
+    import datetime
+
+    d = {k: tempfile.mkdtemp(prefix=f"drs_upd_{k}_") for k in
+         ("index", "incoming", "ckpt")}
+    try:
+        base_pd = gen_pages_pandas(30)
+        build_index(spark, spark.createDataFrame(base_pd, PAGES_DDL),
+                    d["index"], n_shards=SHARDS)
+        r = IndexReader(spark, d["index"])
+        targets = r.docs().select("url", "warc_ts").orderBy("url").limit(5).collect()
+        t_urls = {t["url"] for t in targets}
+        upd = [
+            (t["url"], t["warc_ts"] + datetime.timedelta(days=1), None,
+             "updated streaming content markertermxyz", "en")
+            for t in targets
+        ]
+        new = gen_pages_pandas(3, start=30)
+        spark.createDataFrame(upd, PAGES_DDL).write.mode("overwrite").parquet(
+            d["incoming"] + "/b1"
+        )
+        spark.createDataFrame(new, PAGES_DDL).write.mode("append").parquet(
+            d["incoming"] + "/b1"
+        )
+        run_incremental(spark, d["incoming"] + "/b1", d["index"], d["ckpt"],
+                        n_shards=SHARDS)
+
+        r2 = IndexReader(spark, d["index"])
+        # exactly one version per url; no double-counted stats
+        assert r2.docs().count() == 33
+        assert r2.docs().groupBy("doc_id").count().filter("count > 1").count() == 0
+        assert (
+            r2.docs().groupBy("shard", "local_no").count()
+            .filter("count > 1").count() == 0
+        )
+        assert r2.corpus()["total_docs"] == 33
+        # new content searchable, attributed to exactly the updated urls
+        hits = bm25_search(r2, "markertermxyz", "en", 100, 0.0).collect()
+        assert {h["url"] for h in hits} == t_urls
+        # old version really gone: updated docs carry only the new text
+        for row in r2.docs().filter(F.col("url").isin(list(t_urls))).collect():
+            assert row["text"].startswith("updated streaming"), row["url"]
+
+        # stale postings gone: streamed-updated index == batch rebuild of
+        # the equivalent corpus, score-identical
+        oneshot = tempfile.mkdtemp(prefix="drs_upd_oneshot_")
+        try:
+            kept = base_pd[~base_pd["url"].isin(t_urls)]
+            allpages = spark.createDataFrame(kept, PAGES_DDL).unionByName(
+                spark.createDataFrame(upd, PAGES_DDL)
+            ).unionByName(spark.createDataFrame(new, PAGES_DDL))
+            build_index(spark, allpages, oneshot, n_shards=SHARDS)
+            for q, lang in (("数据 算法", "zh"), ("markertermxyz content", "en")):
+                a = {(row["doc_id"], round(row["score"], 9))
+                     for row in bm25_search(r2, q, lang, 200, 0.0).collect()}
+                b = {(row["doc_id"], round(row["score"], 9))
+                     for row in bm25_search(IndexReader(spark, oneshot),
+                                            q, lang, 200, 0.0).collect()}
+                assert a == b, q
+        finally:
+            shutil.rmtree(oneshot, ignore_errors=True)
+    finally:
+        for p in d.values():
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def test_incremental_append_and_upsert_guard(spark, dirs):
     # base index: pages 0..79
     base = spark.createDataFrame(gen_pages_pandas(80), PAGES_DDL)
