@@ -32,7 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build or resume the index")
-    b.add_argument("--pages", required=True, help="parquet dir of pages")
+    b.add_argument("--pages", help="parquet dir of pages")
+    b.add_argument("--files", help="directory of raw .html/.htm/.txt/.pdf "
+                                   "files to ingest (S1-S5 dispatch)")
     b.add_argument("--index", required=True, help="index output dir")
     b.add_argument("--shards", default="32",
                    help="shard count, or 'auto' to size from the corpus "
@@ -74,8 +76,16 @@ def main(argv: list[str] | None = None) -> int:
                 from document_retrieval_system_spark.sources.corpus import pages_df
 
                 pages = pages_df(spark, args.synthetic)
-            else:
+            elif args.files:
+                from document_retrieval_system_spark.sources.tables import (
+                    read_pages_from_files,
+                )
+
+                pages = read_pages_from_files(spark, args.files)
+            elif args.pages:
                 pages = spark.read.parquet(args.pages)
+            else:
+                ap.error("build requires one of --pages, --files, --synthetic")
             n_shards = None if str(args.shards) == "auto" else int(args.shards)
             build_index(spark, pages, args.index, n_shards=n_shards,
                         wave_size=args.wave_size, resume=args.resume)

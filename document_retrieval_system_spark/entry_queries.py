@@ -942,6 +942,110 @@ def q_r3_bm25_wand(spark, sf_dir):
     ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+E2E_QUERY = "data join filter scan"
+E2E_NOW = 1719792000.0  # 2024-07-01 00:00:00 UTC, pinned for determinism
+E2E_RULES = {
+    "exclusion_words": [],
+    "boost_words": [
+        {"words": ["data"], "weight": 1.5},
+        {"words": ["scan"], "weight": 2.0},
+    ],
+    "time_boost": {"enabled": True, "decay_rate": 0.1, "max_age_months": 24},
+    "domain_rules": {
+        "technical": {"boost_words": ["join", "filter"], "weight": 1.3},
+    },
+    "document_type_weights": {"src0": 0.8, "src1": 1.1},
+}
+
+
+def q_e2e_search_pipeline(spark, sf_dir):
+    """The reference's full search lifecycle (retrieval_core.search, §3.1)
+    as ONE hash-checked pipeline: query -> block-max WAND over the real
+    compressed index -> U2 boost words -> U3 domain -> U4 doc-type
+    (source column) -> U5 time decay (deterministic pseudo-timestamp
+    derived from doc_id) -> U6 re-sort -> U7 content length -> U8 keyword
+    density -> top-20.  Every stage is the genuine engine operator, not a
+    re-expression."""
+    from document_retrieval_system_spark.operators.rules import (
+        apply_result_rules,
+        rule_content_length,
+        rule_keyword_density,
+    )
+    from document_retrieval_system_spark.operators.wand import bm25_wand_search
+
+    reader = _ensure_entry_index(spark, sf_dir)
+    res = bm25_wand_search(
+        reader, E2E_QUERY, "en", 10**6, 0.0, analyzer=simple_process_text
+    ).select(F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"), "score")
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    res = res.join(docs, "doc_id").withColumn(
+        "warc_ts",
+        F.timestamp_seconds(
+            F.lit(E2E_NOW) - ((F.col("doc_id") % 365) + 1) * F.lit(86400.0)
+        ),
+    )
+    res = apply_result_rules(
+        res, E2E_QUERY, E2E_RULES, doc_type_col="source", now_epoch=E2E_NOW
+    )
+    res = rule_content_length(res, min_length=100)
+    res = rule_keyword_density(res, E2E_QUERY)
+    return (
+        res.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_E2E = "WITH " + SQL_BM25_BASE + r""",
+joined AS (
+  SELECT b.doc_id, b.score, lower(coalesce(d.text,'')) AS c,
+         coalesce(d.text,'') AS rawtext, d.source
+  FROM bm25 b JOIN documents d ON b.doc_id = d.doc_id
+),
+rescored AS (
+  SELECT doc_id,
+    score
+    * (CASE WHEN contains(c, 'data') THEN 1.5 ELSE 1.0 END)
+    * (CASE WHEN contains(c, 'scan') THEN 2.0 ELSE 1.0 END)
+    * (CASE WHEN contains(c, 'join') OR contains(c, 'filter') THEN 1.3 ELSE 1.0 END)
+    * (CASE WHEN source = 'src1' THEN 1.1 WHEN source = 'src0' THEN 0.8 ELSE 1.0 END)
+    * (CASE WHEN ((doc_id % 365) + 1) * 86400 / (30.0*24*3600) > 24 THEN 1.0
+            ELSE exp(-0.1 * (((doc_id % 365) + 1) * 86400 / (30.0*24*3600))) END)
+    * (CASE WHEN length(rawtext) < 100 THEN 0.8 ELSE 1.0 END) AS s1,
+    c
+  FROM joined
+),
+dens AS (
+  SELECT doc_id, s1,
+    (cast((length(c) - length(replace(c,'data','')))/4 AS BIGINT)
+     + cast((length(c) - length(replace(c,'join','')))/4 AS BIGINT)
+     + cast((length(c) - length(replace(c,'filter','')))/6 AS BIGINT)
+     + cast((length(c) - length(replace(c,'scan','')))/4 AS BIGINT)) AS cnt,
+    len(string_split_regex(trim(c), '\s+')) AS words
+  FROM rescored
+)
+SELECT doc_id,
+  round(CASE WHEN words > 0 AND cnt * 1.0 / words < 0.005 THEN s1 * 0.9
+             WHEN words > 0 AND cnt * 1.0 / words > 0.05 THEN s1 * 1.2
+             ELSE s1 END, 6) AS score
+FROM dens
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+def q_e2e_with_highlights(spark, sf_dir):
+    """Lifecycle incl. T8: the hash-checked pipeline above, then the
+    reference highlight algorithm over the top-10 (rows-only: snippet
+    text is not SQL-expressible)."""
+    from document_retrieval_system_spark.operators.highlight import with_highlights
+
+    base = q_e2e_search_pipeline(spark, sf_dir).limit(10)
+    top = base.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+    hl = with_highlights(top, E2E_QUERY, "en", "text")
+    return hl.select(
+        "doc_id", "score", F.size("highlights").alias("n_highlights")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def q_b5_boolean_rpn(spark, sf_dir):
     """B3-B5: full boolean language '(data OR scan) AND join NOT filter'
     evaluated by the RPN stack machine over the compressed index."""
@@ -1058,6 +1162,7 @@ QUERIES = {
     "b5_boolean_rpn": (q_b5_boolean_rpn, SQL_B5_RPN),
     "b7_phrase": (q_b7_phrase, SQL_B7),
     "b6_near": (q_b6_near, SQL_B6),
+    "e2e_search_pipeline": (q_e2e_search_pipeline, SQL_E2E),
     "u2_boost_rescore": (q_u2_boost_rescore, SQL_U2),
     "u5_time_decay": (q_u5_time_decay, SQL_U5),
     "u7_content_length": (q_u7_content_length, SQL_U7),
@@ -1076,6 +1181,7 @@ QUERIES = {
     "ta_fingerprint": (q_ta_fingerprint, SQL_TA_FINGERPRINT),
     # Spark-only (rows-only driver check)
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),
     "mm_features": (q_mm_features, None),
     "s4_extract_pages": (q_s4_extract_pages, None),

@@ -138,13 +138,52 @@ class Element:
         return hits[0] if hits else None
 
 
+# HTML5 tree construction: start tags that imply closing an open <p>
+# ("closes a p element in button scope") — html5lib applies these; the
+# stdlib parser does not, so we do it here for parity.
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details div dl fieldset figcaption "
+    "figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr main menu nav "
+    "ol p pre section summary table ul".split()
+)
+# start tags that imply closing these same-level open elements first
+_IMPLIED_END = {
+    "li": frozenset(["li"]),
+    "dt": frozenset(["dt", "dd"]),
+    "dd": frozenset(["dt", "dd"]),
+    "tr": frozenset(["tr", "td", "th"]),
+    "td": frozenset(["td", "th"]),
+    "th": frozenset(["td", "th"]),
+    "option": frozenset(["option"]),
+}
+# elements that bound the upward scan (simplified button/table scope)
+_SCOPE_BARRIERS = frozenset(
+    "html body table caption applet object marquee template [document]".split()
+)
+
+
 class _TreeBuilder(_StdHTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Element("[document]")
         self.stack: list[Element] = [self.root]
 
+    def _implied_close(self, tag: str) -> None:
+        targets = set(_IMPLIED_END.get(tag, ()))
+        if tag in _P_CLOSERS:
+            targets.add("p")
+        if not targets:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            name = self.stack[i].name
+            if name in targets:
+                del self.stack[i:]
+                return
+            if name in _SCOPE_BARRIERS or (tag in ("td", "th") and name == "tr"):
+                return
+
     def handle_starttag(self, tag, attrs):
+        self._implied_close(tag)
         attr_dict: dict[str, str] = {}
         for k, v in attrs:
             if k not in attr_dict:  # first occurrence wins (bs4 behavior)

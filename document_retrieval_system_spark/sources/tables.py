@@ -7,16 +7,35 @@ equivalent reads raw files with the ``binaryFile`` source (distributed,
 split-planned by Spark) and routes per extension into the pages schema;
 HTML flows through the byte-identity extractor, ``.txt`` is decoded
 directly (S3, datasource_manager.py:192-210 — title = basename, content =
-utf-8 text).  PDF/DOCX/XLSX (S5-S7) are out of scope for the webtext tier
-(SURVEY.md non-goals); their hook is the same dispatch table.
+utf-8 text), ``.pdf`` (S5) decodes per-page text via an Arrow UDF over
+``pdf_extract.extract_pdf`` (pdf_parser.py:20-75; PyPDF2 when importable,
+else the pure-stdlib subset reader — title divergence note: a /Title in
+the PDF metadata is honored by the reference but the pages schema carries
+no title column, so the indexed title is the basename, as for .txt).
+DOCX/XLSX (S6-S7) remain out of scope for the webtext tier (SURVEY.md
+non-goals); their hook is the same dispatch table.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
-SUPPORTED_EXTENSIONS = [".html", ".htm", ".txt"]
+SUPPORTED_EXTENSIONS = [".html", ".htm", ".txt", ".pdf"]
+
+
+@F.pandas_udf(StringType())
+def _pdf_text_udf(content: pd.Series, path: pd.Series) -> pd.Series:
+    from document_retrieval_system_spark.sources.pdf_extract import extract_pdf
+
+    return pd.Series(
+        [
+            (extract_pdf(c, p) or {}).get("content", "") if c is not None else ""
+            for c, p in zip(content, path)
+        ]
+    )
 
 
 def read_pages_from_files(
@@ -47,11 +66,14 @@ def read_pages_from_files(
         is_ext = cond if is_ext is None else (is_ext | cond)
     raw = raw.filter(is_ext)
     is_txt = lower.endswith(".txt")
+    is_pdf = lower.endswith(".pdf")
     return raw.select(
         F.col("path").alias("url"),
         F.col("modificationTime").alias("warc_ts"),
-        F.when(~is_txt, F.col("content")).alias("html"),
-        F.when(is_txt, F.decode(F.col("content"), "UTF-8")).alias("text"),
+        F.when(~is_txt & ~is_pdf, F.col("content")).alias("html"),
+        F.when(is_txt, F.decode(F.col("content"), "UTF-8"))
+        .when(is_pdf, _pdf_text_udf(F.col("content"), F.col("path")))
+        .alias("text"),
         F.lit(default_lang).alias("lang"),
     )
 
