@@ -33,8 +33,8 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("build", help="build or resume the index")
     b.add_argument("--pages", help="parquet dir of pages")
-    b.add_argument("--files", help="directory of raw .html/.htm/.txt/.pdf "
-                                   "files to ingest (S1-S5 dispatch)")
+    b.add_argument("--files", help="directory of raw .html/.htm/.txt/.pdf/"
+                                   ".docx/.xlsx files to ingest (S1-S7)")
     b.add_argument("--index", required=True, help="index output dir")
     b.add_argument("--shards", default="32",
                    help="shard count, or 'auto' to size from the corpus "

@@ -524,13 +524,20 @@ def _sql_minhash_cand(ngram: int, n_hashes: int, band_size: int, cap: int) -> st
     return SQL_TOKS + f""",
 grams AS (SELECT doc_id, {_sql_grams(ngram)} AS grams FROM toks),
 shing AS (SELECT doc_id, unnest(grams) AS sh FROM grams WHERE len(grams) > 0),
+hs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+  FROM shing
+),
 mh AS (
-  SELECT doc_id, j, min(md5(j::VARCHAR || '|' || sh)) AS mh
-  FROM shing CROSS JOIN (SELECT unnest(range({n_hashes})) AS j) seeds
+  SELECT doc_id, j, min(h1 + j * h2) AS mh
+  FROM hs CROSS JOIN (SELECT unnest(range({n_hashes})) AS j) seeds
   GROUP BY doc_id, j
 ),
 bands AS (
-  SELECT doc_id, j // {band_size} AS band_id, string_agg(mh, '|' ORDER BY j) AS band_key
+  SELECT doc_id, j // {band_size} AS band_id,
+         string_agg(mh::VARCHAR, '|' ORDER BY j) AS band_key
   FROM mh GROUP BY doc_id, j // {band_size}
   QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {cap}
 ),
@@ -808,6 +815,20 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_t7_keywords(spark, sf_dir):
+    """T7 (text_processor.py:230-270): per-doc top-5 keywords — single-doc
+    sklearn TF-IDF reduces to (tf desc, term asc) ranking."""
+    return textstats.extract_keywords(_docs(spark, sf_dir), top_n=5)
+
+
+SQL_T7 = "WITH " + SQL_TFS + """
+SELECT doc_id, rank, term, tf FROM (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rank
+  FROM tfs
+) WHERE rank <= 5"""
+
+
 def q_ta_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir), k=8)
 
@@ -833,7 +854,8 @@ FROM g"""
 
 # Bump when analyzer / index-build logic changes so stale cached entry
 # artifacts (shared temp dir across driver runs) are never reused.
-ENTRY_CACHE_VERSION = 2
+# v3: gap-aligned posting block boundaries.
+ENTRY_CACHE_VERSION = 3
 
 
 def _content_fingerprint(path: str) -> str:
@@ -1179,6 +1201,7 @@ QUERIES = {
     "ta_quality": (q_ta_quality, SQL_TA_QUALITY),
     "ta_tokencount": (q_ta_tokencount, SQL_TA_TOKENCOUNT),
     "ta_fingerprint": (q_ta_fingerprint, SQL_TA_FINGERPRINT),
+    "t7_keywords": (q_t7_keywords, SQL_T7),
     # Spark-only (rows-only driver check)
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "e2e_with_highlights": (q_e2e_with_highlights, None),

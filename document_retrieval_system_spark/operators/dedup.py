@@ -53,23 +53,34 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n_hashes: int = 8, ngram: int = 3) -> DataFrame:
-    """(id, minhash array) over word-ngram shingles; md5-family hashes.
+    """(id, minhash array) over word-ngram shingles.
+
+    Hash family: Kirsch-Mitzenmacher h_j = h1 + j*h2 where h1/h2 are the
+    two 48-bit halves of ONE md5 per shingle — r1 computed n_hashes md5s
+    per shingle (md5 of the full shingle string each time), which
+    dominated the whole dedup suite at sf0.1; this form is one md5 plus
+    n_hashes integer ops (48-bit halves keep h1 + 15*h2 < 2^53, exact in
+    BIGINT on both engines, no overflow semantics to match).
 
     Relational form on purpose: explode shingles once, then ONE groupBy
     with n_hashes min-aggregates.  (A nested array expression
-    ``array(array_min(transform(shingles, md5)) x 8)`` re-derives the
-    shingle array per element — Catalyst does not CSE across array
-    elements — which measured ~60x slower.)  Map-side partial mins make
-    the shuffle tiny: n_hashes x 32 bytes per doc.
+    ``array(array_min(transform(...)) x 8)`` re-derives the shingle
+    array per element — Catalyst does not CSE across array elements —
+    which measured ~60x slower.)  Map-side partial mins make the shuffle
+    tiny: n_hashes x 8 bytes per doc.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(word_ngrams(simple_tokens(F.col(text_col)), ngram))
         ).alias("sh"),
+    ).withColumn("_hh", F.md5("sh")).select(
+        "id",
+        F.conv(F.substring("_hh", 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("_hh", 13, 12), 16, 10).cast("long").alias("h2"),
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"mh{j}")
+        F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh{j}")
         for j in range(n_hashes)
     ]
     sig = sh.groupBy("id").agg(F.count("*").alias("n_shingles"), *aggs)

@@ -108,15 +108,39 @@ _BLOCK_COLS = [
 ]
 
 
+# Split a term's posting run at docID gaps wider than GAP_SPLIT_MIN and
+# 16x the run's mean spacing: a block whose [first_doc, last_doc] range
+# straddles an empty stretch of the docID axis advertises its (large)
+# upper bound over documents it cannot score, which poisons block-max
+# pruning exactly where it should win (rare terms clustered by the
+# docID locality of URL-sorted web corpora).  Gap-aligned boundaries
+# cost a few extra block rows and nothing else — n is stored per block.
+GAP_SPLIT_MIN = 4096
+GAP_SPLIT_FACTOR = 16
+
+
+def _gap_splits(docs: np.ndarray) -> list[int]:
+    if docs.size < 2:
+        return []
+    gaps = np.diff(docs.astype(np.int64))
+    span = int(docs[-1]) - int(docs[0]) + 1
+    thresh = max(GAP_SPLIT_MIN, GAP_SPLIT_FACTOR * span // docs.size)
+    return (np.nonzero(gaps > thresh)[0] + 1).tolist()
+
+
 def _emit_group_blocks(out: dict, shard: int, term: str, docs, tfs, dls, poss):
     df_local = int(docs.size)
     cf_local = int(tfs.sum())
-    for b0 in range(0, df_local, BLOCK_SIZE):
-        sl = slice(b0, b0 + BLOCK_SIZE)
+    bounds = [0] + _gap_splits(docs) + [df_local]
+    slices = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        for b0 in range(lo, hi, BLOCK_SIZE):
+            slices.append(slice(b0, min(b0 + BLOCK_SIZE, hi)))
+    for block_no, sl in enumerate(slices):
         d, t, l = docs[sl], tfs[sl], dls[sl]
         out["shard"].append(shard)
         out["term"].append(term)
-        out["block_no"].append(b0 // BLOCK_SIZE)
+        out["block_no"].append(block_no)
         out["n"].append(int(d.size))
         out["first_doc"].append(int(d[0]))
         out["last_doc"].append(int(d[-1]))

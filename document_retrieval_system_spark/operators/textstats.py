@@ -39,23 +39,36 @@ def simple_tokens(text_col: Column) -> Column:
     )
 
 
+def _sliding_concat(arr: Column, n: int, sep: str) -> Column:
+    """n-gram concatenation over an array expression in O(n) array
+    passes.  The naive form — ``transform(sequence(...), lambda i:
+    element_at(arr, i+j) ...)`` — references `arr` INSIDE the lambda, and
+    Catalyst re-evaluates the whole argument expression per element (no
+    CSE into the higher-order function), turning shingling into
+    O(elements x cost(arr)); measured 5x slower on the dedup suite when
+    `arr` is the tokenizer.  zip_with/slice take `arr` as an argument
+    and bind it once per row.  Tail positions zip against nulls (concat
+    null-propagates) and are sliced away; a 0-length slice yields []
+    for inputs shorter than n."""
+    sz = F.size(arr)
+    grams = arr
+    for j in range(1, n):
+        nxt = F.slice(arr, j + 1, F.greatest(sz - j, F.lit(0)))
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat(a, F.lit(sep), b))
+    return F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(0)))
+
+
 def word_ngrams(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles; empty array when fewer than n tokens."""
-    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])
-    )
-    return F.when(F.size(tokens) >= n, grams).otherwise(F.array().cast("array<string>"))
+    if n == 1:
+        return tokens
+    return _sliding_concat(tokens, n, " ")
 
 
 def char_shingles(text_col: Column, k: int = 8) -> Column:
     """Character k-gram shingles over lowercased text (distinct)."""
-    low = F.lower(text_col)
-    idx = F.sequence(F.lit(1), F.length(low) - (k - 1))
-    grams = F.transform(idx, lambda i: F.substring(low, i, k))
-    return F.array_distinct(
-        F.when(F.length(low) >= k, grams).otherwise(F.array().cast("array<string>"))
-    )
+    chars = F.split(F.lower(text_col), "")
+    return F.array_distinct(_sliding_concat(chars, k, ""))
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -124,4 +137,36 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     fp = F.array_min(F.transform(sh, F.md5))
     return df.select(
         F.col(id_col), fp.alias("fingerprint"), F.size(sh).alias("n_shingles")
+    )
+
+
+def extract_keywords(df: DataFrame, top_n: int = 10, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """T7 (text_processor.py:230-270), distributed: per-doc top-N keywords.
+
+    The reference's English path runs sklearn TfidfVectorizer over ONE
+    document at a time (:248-266): with a single doc every idf is
+    constant, max_features keeps the top_n most frequent terms (ties
+    alphabetical), and the stable score sort preserves that order — so
+    the semantics reduce exactly to rank-by (tf desc, term asc).  The
+    Chinese path (jieba.analyse TF-IDF over jieba's bundled idf table,
+    :243-245) is reproducible only with jieba installed; the gated
+    import in zh_segment covers it.
+
+    Shape: explode -> (doc, term) count -> per-doc window top-N.  The
+    groupBy key is (doc, term) so heavy docs never serialize through one
+    reducer; the window partitions by doc over at most |vocab(doc)| rows.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(simple_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "rank", "term", "tf")
     )

@@ -210,8 +210,14 @@ def pages_df(spark, n: int, seed: int = 42, size_scale: int = 1):
                 }
             )
 
+    # tasks per core for the heavy per-page python stage: >1 reduces the
+    # stage-end straggler (per-page cost varies zh/en/size); too many adds
+    # per-task Arrow/setup overhead.  Env-tunable for scaling probes.
+    import os
+
+    tpc = int(os.environ.get("SPARK_GRAFT_GEN_TASKS_PER_CORE", "2"))
     parallelism = spark.sparkContext.defaultParallelism
-    return spark.range(0, n, 1, max(parallelism, 4)).mapInPandas(gen, PAGES_DDL)
+    return spark.range(0, n, 1, max(tpc * parallelism, 8)).mapInPandas(gen, PAGES_DDL)
 
 
 # The reference query set (FIXTURES.md §2): mixed ZH/EN, single/multi-term,

@@ -160,6 +160,13 @@ _IMPLIED_END = {
 _SCOPE_BARRIERS = frozenset(
     "html body table caption applet object marquee template [document]".split()
 )
+# precomputed start-tag -> close-target set; absent = fast no-op (the
+# overwhelmingly common case on the per-start-tag hot path)
+_CLOSE_TARGETS: dict[str, frozenset] = {
+    t: frozenset({"p"}) | _IMPLIED_END.get(t, frozenset()) for t in _P_CLOSERS
+}
+for _t, _v in _IMPLIED_END.items():
+    _CLOSE_TARGETS.setdefault(_t, _v)
 
 
 class _TreeBuilder(_StdHTMLParser):
@@ -169,10 +176,8 @@ class _TreeBuilder(_StdHTMLParser):
         self.stack: list[Element] = [self.root]
 
     def _implied_close(self, tag: str) -> None:
-        targets = set(_IMPLIED_END.get(tag, ()))
-        if tag in _P_CLOSERS:
-            targets.add("p")
-        if not targets:
+        targets = _CLOSE_TARGETS.get(tag)
+        if targets is None:
             return
         for i in range(len(self.stack) - 1, 0, -1):
             name = self.stack[i].name

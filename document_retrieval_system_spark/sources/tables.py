@@ -12,8 +12,11 @@ utf-8 text), ``.pdf`` (S5) decodes per-page text via an Arrow UDF over
 else the pure-stdlib subset reader — title divergence note: a /Title in
 the PDF metadata is honored by the reference but the pages schema carries
 no title column, so the indexed title is the basename, as for .txt).
-DOCX/XLSX (S6-S7) remain out of scope for the webtext tier (SURVEY.md
-non-goals); their hook is the same dispatch table.
+``.docx``/``.xlsx`` (S6-S7) decode via pure-stdlib OOXML readers
+(office_extract.py; docx_parser.py:19-101, xlsx_parser.py:19-107 —
+paragraphs + ' | '-joined table rows, sheet-name headers, 1000-row/
+100-col caps).  As for PDF, document titles beyond the basename live in
+the OOXML metadata the pages schema does not carry.
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-SUPPORTED_EXTENSIONS = [".html", ".htm", ".txt", ".pdf"]
+SUPPORTED_EXTENSIONS = [".html", ".htm", ".txt", ".pdf", ".docx", ".xlsx"]
 
 
 @F.pandas_udf(StringType())
@@ -36,6 +39,24 @@ def _pdf_text_udf(content: pd.Series, path: pd.Series) -> pd.Series:
             for c, p in zip(content, path)
         ]
     )
+
+
+@F.pandas_udf(StringType())
+def _office_text_udf(content: pd.Series, path: pd.Series) -> pd.Series:
+    from document_retrieval_system_spark.sources.office_extract import (
+        extract_docx,
+        extract_xlsx,
+    )
+
+    out = []
+    for c, p in zip(content, path):
+        if c is None:
+            out.append("")
+        elif p.lower().endswith(".docx"):
+            out.append((extract_docx(c, p) or {}).get("content", ""))
+        else:
+            out.append((extract_xlsx(c, p) or {}).get("content", ""))
+    return pd.Series(out)
 
 
 def read_pages_from_files(
@@ -67,12 +88,14 @@ def read_pages_from_files(
     raw = raw.filter(is_ext)
     is_txt = lower.endswith(".txt")
     is_pdf = lower.endswith(".pdf")
+    is_office = lower.endswith(".docx") | lower.endswith(".xlsx")
     return raw.select(
         F.col("path").alias("url"),
         F.col("modificationTime").alias("warc_ts"),
-        F.when(~is_txt & ~is_pdf, F.col("content")).alias("html"),
+        F.when(~is_txt & ~is_pdf & ~is_office, F.col("content")).alias("html"),
         F.when(is_txt, F.decode(F.col("content"), "UTF-8"))
         .when(is_pdf, _pdf_text_udf(F.col("content"), F.col("path")))
+        .when(is_office, _office_text_udf(F.col("content"), F.col("path")))
         .alias("text"),
         F.lit(default_lang).alias("lang"),
     )

@@ -59,3 +59,47 @@ def test_fmm_standin_contract_without_jieba():
     assert "人工智能" in a or ("人工" in a and "智能" in a)
     # single out-of-vocab CJK chars pass through as unigrams
     assert zh_cut("鑫") == ["鑫"]
+
+
+def test_extract_keywords_semantics(spark):
+    """T7: per-doc top-N by (tf desc, term asc) — the exact reduction of
+    single-doc sklearn TfidfVectorizer (constant idf, stable sort); also
+    compared directly against sklearn when it is importable."""
+    from collections import Counter
+
+    from document_retrieval_system_spark.operators.textstats import (
+        extract_keywords,
+        simple_process_text,
+    )
+
+    texts = [
+        (0, "data data data join join filter scan scan scan scan"),
+        (1, "alpha beta beta gamma gamma gamma"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"])
+        for r in extract_keywords(df, top_n=3).collect()
+    }
+    for doc_id, text in texts:
+        toks = simple_process_text(text)
+        want = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, (term, tf) in enumerate(want, start=1):
+            assert got[(doc_id, rk)] == (term, tf), (doc_id, rk)
+    assert (2, 1) not in got  # empty doc yields no keywords
+
+    try:
+        from sklearn.feature_extraction.text import TfidfVectorizer
+    except ImportError:
+        return  # gated: sklearn absent in this sandbox
+    for doc_id, text in texts[:2]:
+        toks = simple_process_text(text)
+        vec = TfidfVectorizer(max_features=3)
+        m = vec.fit_transform([" ".join(toks)])
+        scored = sorted(
+            zip(vec.get_feature_names_out(), m.toarray()[0]),
+            key=lambda x: x[1], reverse=True,
+        )
+        ours = [got[(doc_id, rk)][0] for rk in (1, 2, 3) if (doc_id, rk) in got]
+        assert [w for w, _ in scored][: len(ours)] == ours

@@ -57,7 +57,12 @@ def _hits(t: str, n_docs: int, rng) -> np.ndarray:
     return np.unique(ids[ids < n_docs]).astype(np.int64)
 
 
-def synth_blocks(n_docs: int, seed: int = 42) -> pd.DataFrame:
+def synth_blocks(n_docs: int, seed: int = 42, gap_split: bool = True) -> pd.DataFrame:
+    """Blocks laid out exactly as the index builder would: fixed-size
+    slices, optionally broken at large docID gaps (the builder's
+    gap-aligned boundaries — see index_build._gap_splits)."""
+    from document_retrieval_system_spark.operators.index_build import _gap_splits
+
     rng = np.random.default_rng(seed)
     dls = rng.integers(40, 400, size=n_docs)
     rows = []
@@ -66,9 +71,14 @@ def synth_blocks(n_docs: int, seed: int = 42) -> pd.DataFrame:
         if hit.size == 0:
             continue
         tfs = 1 + rng.geometric(0.6, size=hit.size).astype(np.int64)
-        for i in range(0, hit.size, BLOCK):
-            d = hit[i:i + BLOCK]
-            f = tfs[i:i + BLOCK]
+        bounds = [0] + (_gap_splits(hit) if gap_split else []) + [hit.size]
+        slices = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            for b0 in range(lo, hi, BLOCK):
+                slices.append(slice(b0, min(b0 + BLOCK, hi)))
+        for sl in slices:
+            d = hit[sl]
+            f = tfs[sl]
             dl = dls[d]
             rows.append({
                 "shard": 0, "term": t,
@@ -85,19 +95,22 @@ def main() -> None:
     avgdl = 220.0
     out = []
     for n_docs in (10_000, 40_000, 160_000, 640_000):
-        pdf = synth_blocks(n_docs)
-        stats: dict = {}
-        t0 = time.perf_counter()
-        res = _shard_kernel(pdf, WEIGHTS, avgdl, k=20, min_score=0.0, stats=stats)
-        dt = time.perf_counter() - t0
-        rec = {
-            "n_docs": n_docs,
-            "total_blocks": stats["total_blocks"],
-            "decoded_blocks": stats["decoded_blocks"],
-            "decoded_frac": round(stats["decoded_blocks"] / stats["total_blocks"], 4),
-            "kernel_sec": round(dt, 4),
-            "rows_out": len(res),
-        }
+        rec = {"n_docs": n_docs}
+        for label, gap in (("", True), ("nogap_", False)):
+            pdf = synth_blocks(n_docs, gap_split=gap)
+            stats: dict = {}
+            t0 = time.perf_counter()
+            res = _shard_kernel(pdf, WEIGHTS, avgdl, k=20, min_score=0.0, stats=stats)
+            dt = time.perf_counter() - t0
+            rec.update({
+                f"{label}total_blocks": stats["total_blocks"],
+                f"{label}decoded_blocks": stats["decoded_blocks"],
+                f"{label}decoded_frac": round(
+                    stats["decoded_blocks"] / stats["total_blocks"], 4
+                ),
+                f"{label}kernel_sec": round(dt, 4),
+            })
+            rec["rows_out"] = len(res)
         out.append(rec)
         print(json.dumps(rec))
     # sub-linearity assertion: decoded fraction must fall as volume grows
