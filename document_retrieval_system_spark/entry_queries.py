@@ -490,14 +490,27 @@ SELECT doc_id,
 FROM m"""
 
 
+DEDUP_PREFIX_LEN = 64
+
+
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: byte-identical text groups."""
-    return dedup.exact_duplicate_groups(_docs(spark, sf_dir))
+    """Exact dedup by content-prefix key (first 64 chars).  The driver
+    tables carry no byte-identical full texts at sf0.01 — r2's green was
+    vacuous (0 rows on both engines) — but they do share 64-char
+    prefixes (22 groups / 45 docs), so the prefix key exercises the
+    hash-group-count machinery on non-empty output.  Full-text exact
+    dedup is the same operator with text_col='text' and is pytest-covered
+    on corpora containing real clones."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "pfx", F.substring("text", 1, DEDUP_PREFIX_LEN)
+    )
+    return dedup.exact_duplicate_groups(docs, text_col="pfx")
 
 
-SQL_DEDUP_EXACT = """
-SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
-FROM documents GROUP BY md5(text) HAVING count(*) > 1"""
+SQL_DEDUP_EXACT = f"""
+SELECT md5(substr(text, 1, {DEDUP_PREFIX_LEN})) AS content_hash,
+       count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1"""
 
 
 BUCKET_CAP = 1000  # LSH band-bucket skew cap, Spark and oracle alike
@@ -694,6 +707,30 @@ ORDER BY cosine DESC, vec_id LIMIT 10"""
 
 
 EMB_SIG_BITS, EMB_BAND_SIZE, EMB_SEED, EMB_DIM = 64, 8, 7, 64
+EMB_PLANT_N, EMB_PLANT_OFFSET = 50, 10000
+
+
+def _emb_augmented(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ planted near-duplicates, derived deterministically
+    from the input: vec_id < EMB_PLANT_N re-emitted as vec_id + 10000
+    with a per-element scale in [1.000, 1.004] (cosine vs the original
+    >= 0.99999).  The synthetic embeddings' max pairwise cosine is 0.51,
+    so WITHOUT planting, any sane threshold returns the empty set and
+    the driver row passes vacuously (r2 defect #1); the planted pairs
+    make the LSH-banded pipeline's recall actually bite."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") < EMB_PLANT_N).select(
+        (F.col("vec_id") + EMB_PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            # 2-arg HOF lambda = (element, 0-based index)
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + F.lit(0.001) * ((i * 7 + F.col("vec_id")) % 5)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
 
 
 def q_emb_neardup(spark, sf_dir):
@@ -702,11 +739,29 @@ def q_emb_neardup(spark, sf_dir):
     (bucket-capped) -> exact cosine verify on candidates only.
     Replaces r1's O(n^2) brute-force pair join.  8-bit bands keep the
     random-pair candidate rate ~3% (measured 90% with 2-bit bands)
-    while missing a true cosine-0.9 pair with prob (1-0.857^8)^8 ≈ 1e-2."""
+    while missing a true cosine-0.9 pair with prob (1-0.857^8)^8 ≈ 1e-2.
+    Runs over the planted-pair augmentation (see _emb_augmented) so the
+    result is non-empty at sf0.01."""
     return dedup.embedding_neardup_pairs(
-        _emb(spark, sf_dir), threshold=0.9, sig_bits=EMB_SIG_BITS,
-        band_size=EMB_BAND_SIZE, seed=EMB_SEED, bucket_cap=BUCKET_CAP,
+        _emb_augmented(_emb(spark, sf_dir)), threshold=0.9,
+        sig_bits=EMB_SIG_BITS, band_size=EMB_BAND_SIZE, seed=EMB_SEED,
+        bucket_cap=BUCKET_CAP,
     )
+
+
+# DuckDB twin of _emb_augmented: DOUBLE[] both branches; (i-1) because
+# DuckDB list indices are 1-based where Spark's HOF index is 0-based.
+_SQL_EMB_AUG = f"""
+aug AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET},
+         list_transform(range(1, {EMB_DIM + 1}),
+                        i -> embedding[i]::DOUBLE
+                             * (1.0 + 0.001 * (((i - 1) * 7 + vec_id) % 5)))
+  FROM embeddings WHERE vec_id < {EMB_PLANT_N}
+)"""
 
 
 def _sql_emb_neardup(threshold: float = 0.9) -> str:
@@ -723,13 +778,14 @@ def _sql_emb_neardup(threshold: float = 0.9) -> str:
     return f"""
 WITH planes(bit, w) AS (VALUES
     {rows}),
+{_SQL_EMB_AUG},
 sig AS (
   SELECT e.vec_id,
          string_agg(
            CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}),
-                                             i -> e.embedding[i]::DOUBLE * p.w[i])) >= 0
+                                             i -> e.embedding[i] * p.w[i])) >= 0
                 THEN '1' ELSE '0' END, '' ORDER BY p.bit) AS sig
-  FROM embeddings e CROSS JOIN planes p
+  FROM aug e CROSS JOIN planes p
   GROUP BY e.vec_id
 ),
 ebands AS (
@@ -746,18 +802,72 @@ ecand AS (
 ver AS (
   SELECT c.id_a, c.id_b,
          list_sum(list_transform(range(1, {EMB_DIM + 1}),
-                                 i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) AS dot,
-         sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
-         sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE))) AS nb
+                                 i -> ea.embedding[i] * eb.embedding[i])) AS dot,
+         sqrt(list_sum(list_transform(ea.embedding, x -> x * x))) AS na,
+         sqrt(list_sum(list_transform(eb.embedding, x -> x * x))) AS nb
   FROM ecand c
-  JOIN embeddings ea ON c.id_a = ea.vec_id
-  JOIN embeddings eb ON c.id_b = eb.vec_id
+  JOIN aug ea ON c.id_a = ea.vec_id
+  JOIN aug eb ON c.id_b = eb.vec_id
 )
 SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine
 FROM ver WHERE round(dot / (na * nb), 6) >= {threshold}"""
 
 
 SQL_EMB_NEARDUP = _sql_emb_neardup(0.9)
+
+
+ANN_SIG_BITS, ANN_BUCKET_BITS, ANN_PROBE, ANN_SEED = 12, 6, 4, 7
+
+
+def _sql_ann_lsh(k: int = 10) -> str:
+    """Oracle for the bucketed ANN path (q_ann_lsh_topk).  The bucket
+    (signature-prefix) pruning is lossless w.r.t. the full-signature
+    Hamming refine — prefix distance <= full distance <= probe — so the
+    oracle needs only the full-Hamming filter: sig(v) within Hamming
+    {probe} of sig(query), vec_id > 0, exact-cosine rerank, top-k.
+    Hyperplanes ship as literal DOUBLE[] rows (same numpy PCG64 seed as
+    the index build), and the query signature is DuckDB's own sig of
+    vec 0 — matching Spark's stored fold bit-for-bit."""
+    planes = similarity.hyperplanes(EMB_DIM, ANN_SIG_BITS, ANN_SEED)
+    rows = ",\n    ".join(
+        "(" + str(j) + ", [" + ", ".join(repr(float(x)) for x in planes[j]) + "]::DOUBLE[])"
+        for j in range(ANN_SIG_BITS)
+    )
+    return f"""
+WITH planes(bit, w) AS (VALUES
+    {rows}),
+sig AS (
+  SELECT e.vec_id,
+         string_agg(
+           CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                             i -> e.embedding[i]::DOUBLE * p.w[i])) >= 0
+                THEN '1' ELSE '0' END, '' ORDER BY p.bit) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id
+),
+qs AS (SELECT sig AS qsig FROM sig WHERE vec_id = 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id
+  FROM sig s CROSS JOIN qs
+  WHERE s.vec_id > 0
+    AND len(list_filter(range(1, {ANN_SIG_BITS + 1}),
+                        i -> substr(s.sig, i, 1) <> substr(qs.qsig, i, 1))) <= {ANN_PROBE}
+),
+ver AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                 i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na
+  FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q
+),
+qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) AS qnorm FROM q)
+SELECT vec_id, round(dot / (na * qnorm), 6) AS cosine
+FROM ver CROSS JOIN qn
+ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh(10)
 
 
 def q_ta_langid(spark, sf_dir):
@@ -854,8 +964,9 @@ FROM g"""
 
 # Bump when analyzer / index-build logic changes so stale cached entry
 # artifacts (shared temp dir across driver runs) are never reused.
-# v3: gap-aligned posting block boundaries.
-ENTRY_CACHE_VERSION = 3
+# v3: gap-aligned posting block boundaries.  v4: tagged ("b"-prefixed)
+# ANN bucket partition values.
+ENTRY_CACHE_VERSION = 4
 
 
 def _content_fingerprint(path: str) -> str:
@@ -926,9 +1037,6 @@ def _ensure_entry_index(spark, sf_dir: str):
         build_index(spark, pages, tmp, n_shards=8, analyzer=simple_process_text)
         _publish_cache_dir(tmp, idx)
     return IndexReader(spark, idx)
-
-
-ANN_SIG_BITS, ANN_BUCKET_BITS, ANN_PROBE, ANN_SEED = 12, 6, 4, 7
 
 
 def _ensure_ann_index(spark, sf_dir: str) -> str:
@@ -1202,8 +1310,8 @@ QUERIES = {
     "ta_tokencount": (q_ta_tokencount, SQL_TA_TOKENCOUNT),
     "ta_fingerprint": (q_ta_fingerprint, SQL_TA_FINGERPRINT),
     "t7_keywords": (q_t7_keywords, SQL_T7),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     # Spark-only (rows-only driver check)
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),
     "mm_features": (q_mm_features, None),

@@ -389,7 +389,13 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
         lsh_signature_col,
     )
 
-    dim = len(emb.select(vec_col).head()[0])
+    row = emb.select(vec_col).head()
+    if row is None:  # empty input: no pairs (and no dim to derive)
+        return emb.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    dim = len(row[0])
     planes = hyperplanes(dim, sig_bits, seed)
     sig = emb.select(
         F.col(id_col).alias("id"),

@@ -94,19 +94,47 @@ def hamming_ball(prefix: str, radius: int) -> list[str]:
     return out
 
 
+# Partition values are prefixed with a letter so Spark's partition-column
+# type inference can never read "010110" back as the integer 10110
+# (dropping leading zeros): with a bare bit-string value the isin pruning
+# filter works only as long as every key has the same width, and breaks
+# silently past 18 bucket bits (int64 range) or under mixed-width keys.
+_BUCKET_TAG = "b"
+
+
+def bucket_value(prefix: str) -> str:
+    return _BUCKET_TAG + prefix
+
+
+def probe_buckets(q_sig: str, bucket_bits: int, radius: int) -> list[str]:
+    """The (tagged) partition values a multi-probe query may touch."""
+    return [bucket_value(p)
+            for p in hamming_ball(q_sig[:bucket_bits], min(radius, bucket_bits))]
+
+
 def build_lsh_index(emb: DataFrame, index_dir: str, sig_bits: int = 16,
                     bucket_bits: int = 8, seed: int = 7,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None) -> None:
     """Persist embeddings partitioned by the signature's bucket_bits-bit
     prefix — the signature becomes a physical partition key, so a query
     reads only its multi-probe buckets (partition pruning at the scan),
     never the full table.  The full signature is stored as a column for
-    the cheap string-Hamming refine before any dot product runs."""
-    dim = len(emb.select(vec_col).head()[0])
+    the cheap string-Hamming refine before any dot product runs.
+
+    ``dim``: pass the embedding dimensionality to avoid the one-row probe
+    job (a Spark action inside plan construction)."""
+    if dim is None:
+        row = emb.select(vec_col).head()
+        if row is None:
+            raise ValueError(
+                "build_lsh_index: empty input and no dim given — pass dim="
+            )
+        dim = len(row[0])
     planes = hyperplanes(dim, sig_bits, seed)
     (
         emb.withColumn("sig", lsh_signature_col(F.col(vec_col), planes))
-        .withColumn("bucket", F.substring("sig", 1, bucket_bits))
+        .withColumn("bucket", F.concat(F.lit(_BUCKET_TAG), F.substring("sig", 1, bucket_bits)))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(index_dir)
@@ -129,7 +157,7 @@ def lsh_index_topk(spark, index_dir: str, query: list[float], k: int = 10,
     """
     planes = hyperplanes(len(query), sig_bits, seed)
     q_sig = query_signature(query, planes)
-    buckets = hamming_ball(q_sig[:bucket_bits], min(hamming_probe, bucket_bits))
+    buckets = probe_buckets(q_sig, bucket_bits, hamming_probe)
     df = spark.read.parquet(index_dir).filter(F.col("bucket").isin(buckets))
     if pre_filter is not None:
         df = df.filter(pre_filter)

@@ -152,6 +152,27 @@ def test_ann_index_partition_pruning_and_equivalence(spark, clustered_emb, tmp_p
     ]
 
 
+def test_ann_bucket_partition_values_stay_strings(spark, clustered_emb, tmp_path):
+    """Partition-column type inference must never coerce bucket values to
+    integers (dropping leading zeros breaks isin pruning silently) — the
+    letter tag pins the type to string at any width."""
+    idx = str(tmp_path / "annidx3")
+    similarity.build_lsh_index(clustered_emb, idx, sig_bits=16, bucket_bits=8, seed=7)
+    df = spark.read.parquet(idx)
+    assert dict(df.dtypes)["bucket"] == "string"
+    vals = [r["bucket"] for r in df.select("bucket").distinct().collect()]
+    assert vals and all(
+        v.startswith("b") and len(v) == 9 and set(v[1:]) <= {"0", "1"} for v in vals
+    ), vals
+
+
+def test_embedding_neardup_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = dedup.embedding_neardup_pairs(empty)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+
 def test_ann_index_scan_reads_subset_of_buckets(spark, clustered_emb, tmp_path):
     """File-level evidence: rows surviving the scan come from a strict
     subset of the bucket partitions on disk."""
@@ -167,8 +188,8 @@ def test_ann_index_scan_reads_subset_of_buckets(spark, clustered_emb, tmp_path):
     touched = (
         spark.read.parquet(idx)
         .filter(F.col("bucket").isin(
-            similarity.hamming_ball(
-                similarity.query_signature(q, similarity.hyperplanes(len(q), 16, 7))[:8], 1
+            similarity.probe_buckets(
+                similarity.query_signature(q, similarity.hyperplanes(len(q), 16, 7)), 8, 1
             )
         ))
         .select(F.input_file_name()).distinct().count()
