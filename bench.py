@@ -51,11 +51,20 @@ def main() -> None:
     # warm-up: JVM + Arrow worker spin-up paid once, not per query
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
 
-    for name in bench_queries:
-        builder, _sql = QUERIES[name]
-        t0 = time.time()
-        builder(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+    # Per-query best-of-N with interleaved passes: this host's throughput
+    # drifts ±15% across hours, and the first execution of a plan pays
+    # JIT + shuffle-file warmup — whole-suite best-of-2 (r2) still let a
+    # slow patch skew individual queries.  Interleaving the passes (1..N
+    # over the whole list, not N back-to-back runs of one query) spreads
+    # any host-load burst across queries instead of concentrating it.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    for _ in range(passes):
+        for name in bench_queries:
+            builder, _sql = QUERIES[name]
+            t0 = time.time()
+            builder(spark, sf_dir).collect()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), dt)
 
     # query latency percentiles (BASELINE.md "query p95 at rank-identical
     # top-k"): repeated BM25 WAND queries against the prebuilt index over
@@ -70,13 +79,27 @@ def main() -> None:
     wand_reader = _ensure_entry_index(spark, sf_dir)
     lat: list[float] = []
     latency_queries = [" ".join(BM25_TERMS), "data scan", "join filter table", "query"]
+    # decoded-block accumulators: attributes block-count growth (e.g. the
+    # r2 gap-aligned split) vs actual pruning regressions in one number
+    counters = {
+        "total_blocks": spark.sparkContext.accumulator(0),
+        "decoded_blocks": spark.sparkContext.accumulator(0),
+    }
     for rep in range(3):
         for ql in latency_queries:
             t0 = time.time()
             bm25_wand_search(wand_reader, ql, "en", 20, 0.0,
-                             analyzer=simple_process_text).collect()
+                             analyzer=simple_process_text,
+                             counters=counters).collect()
             if rep > 0:  # first pass warms plans/caches
                 lat.append(time.time() - t0)
+    wand_blocks = {
+        "total": int(counters["total_blocks"].value),
+        "decoded": int(counters["decoded_blocks"].value),
+        "decoded_frac": round(
+            counters["decoded_blocks"].value / max(1, counters["total_blocks"].value), 4
+        ),
+    }
     lat.sort()
     p50 = lat[len(lat) // 2]
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
@@ -84,35 +107,46 @@ def main() -> None:
     timings["query_p95"] = round(p95, 3)
 
     # index-build throughput: pages -> extract -> tokenize -> compressed
-    # sharded index (the north-star metric, docs/sec)
-    idx_dir = tempfile.mkdtemp(prefix="drs_bench_idx_")
-    try:
-        pages = pages_df(spark, n_pages)
-        t0 = time.time()
-        build_index(spark, pages, idx_dir, n_shards=max(cpus, 8))
-        build_sec = time.time() - t0
-        from document_retrieval_system_spark.operators.index_build import IndexReader
-        from pyspark.sql import functions as F
+    # sharded index (the north-star metric, docs/sec); best-of-N like the
+    # queries, fresh dir per pass
+    build_sec = float("inf")
+    compression = {}
+    for _ in range(passes):
+        idx_dir = tempfile.mkdtemp(prefix="drs_bench_idx_")
+        try:
+            pages = pages_df(spark, n_pages)
+            t0 = time.time()
+            build_index(spark, pages, idx_dir, n_shards=max(cpus, 8))
+            build_sec = min(build_sec, time.time() - t0)
+            from document_retrieval_system_spark.operators.index_build import IndexReader
+            from pyspark.sql import functions as F
 
-        m = IndexReader(spark, idx_dir).manifest().agg(
-            F.sum("postings_emitted").alias("p"),
-            (F.sum("doc_bytes") + F.sum("tf_bytes") + F.sum("dl_bytes")).alias("core"),
-            F.sum("pos_bytes").alias("pos"),
-        ).collect()[0]
-        compression = {
-            "postings": int(m["p"]),
-            "bytes_per_posting_core": round(m["core"] / m["p"], 3),
-            "bytes_per_posting_with_positions": round((m["core"] + m["pos"]) / m["p"], 3),
-        }
-    finally:
-        shutil.rmtree(idx_dir, ignore_errors=True)
+            m = IndexReader(spark, idx_dir).manifest().agg(
+                F.sum("postings_emitted").alias("p"),
+                (F.sum("doc_bytes") + F.sum("tf_bytes") + F.sum("dl_bytes")).alias("core"),
+                F.sum("pos_bytes").alias("pos"),
+                F.sum("blocks").alias("blocks"),
+            ).collect()[0]
+            compression = {
+                "postings": int(m["p"]),
+                "blocks": int(m["blocks"]),
+                "bytes_per_posting_core": round(m["core"] / m["p"], 3),
+                "bytes_per_posting_with_positions": round((m["core"] + m["pos"]) / m["p"], 3),
+            }
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
     timings["index_build"] = round(build_sec, 3)
 
-    total = round(time.time() - t_total0, 3)
+    # headline value: sum of per-query minima + best index build — the
+    # drift-controlled suite time (raw wall time would just count `passes`)
+    total = round(sum(timings[q] for q in bench_queries) + build_sec, 3)
     out = {
-        "metric": "index-build + query suite wall time",
+        "metric": f"index-build + query suite time (best-of-{passes} per query)",
         "value": total,
         "unit": "sec",
+        "wall_sec": round(time.time() - t_total0, 3),
+        "passes": passes,
+        "wand_blocks": wand_blocks,
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "index_build": {

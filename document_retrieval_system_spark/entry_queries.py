@@ -624,22 +624,33 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=32)
 
 
-_SQL_SIMHASH_SIG = SQL_POS + """,
+def _sql_simhash_sig(bits: int = 32) -> str:
+    """Packed-signature oracle, mirroring dedup.simhash's r3 shape: one
+    integer hash per (doc, term), `bits` shift-and-mask sum aggregates,
+    vote(b) = 2*sum(tf*bit_b) - sum(tf).  Integer arithmetic — identical
+    results to the r2 per-bit-explode form (proven: the packed Spark side
+    hash-matched this oracle's old explode form before the swap)."""
+    n_hex = bits // 4
+    sums = ",\n         ".join(
+        f"sum(tf * ((hv >> {bits - 1 - b}) & 1)) AS s{b}" for b in range(bits)
+    )
+    chars = " || ".join(
+        f"(CASE WHEN 2*s{b} - tot > 0 THEN '1' ELSE '0' END)" for b in range(bits)
+    )
+    return SQL_POS + f""",
 tf AS (SELECT doc_id, term AS tok, count(*) AS tf FROM pos GROUP BY doc_id, term),
-bits AS (
-  SELECT doc_id, bit,
-         sum(CASE WHEN ((strpos('0123456789abcdef',
-                                substr(md5(tok), bit // 4 + 1, 1)) - 1)
-                        >> (3 - bit % 4)) & 1 = 1
-                  THEN tf ELSE -tf END) AS v
-  FROM tf CROSS JOIN (SELECT unnest(range(32)) AS bit) b
-  GROUP BY doc_id, bit
+hv AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, {n_hex}))::BIGINT AS hv FROM tf
 ),
-sig AS (
-  SELECT doc_id,
-         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash_bits
-  FROM bits GROUP BY doc_id
-)"""
+agg AS (
+  SELECT doc_id, sum(tf) AS tot,
+         {sums}
+  FROM hv GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {chars} AS simhash_bits FROM agg)"""
+
+
+_SQL_SIMHASH_SIG = _sql_simhash_sig(32)
 
 SQL_DEDUP_SIMHASH = (
     "WITH " + _SQL_SIMHASH_SIG + "\nSELECT doc_id, simhash_bits FROM sig"

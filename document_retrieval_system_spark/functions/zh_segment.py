@@ -41,6 +41,46 @@ ZH_DICT = frozenset({
     "并行", "任务", "调度", "资源", "管理", "工具", "开源", "社区",
     "学习", "智能", "机器", "人工",
 })
+
+# General high-frequency vocabulary (public word-frequency knowledge:
+# the same everyday compounds that dominate jieba's dict.txt top ranks /
+# HSK lists).  FMM agrees with jieba exactly where the dictionary covers
+# the compounds a text uses, so widening coverage from the corpus-only
+# vocabulary to common web Chinese directly raises boundary parity on
+# out-of-corpus text; the gated parity test below measures it whenever a
+# real jieba is importable.
+_COMMON_WORDS = frozenset("""
+我们 你们 他们 她们 它们 自己 大家 这个 那个 这些 那些 这里 那里 什么
+怎么 为什么 时候 现在 今天 明天 昨天 今年 去年 明年 已经 还是 就是
+但是 因为 所以 如果 虽然 然后 而且 或者 以及 通过 对于 关于 根据
+按照 由于 为了 除了 可以 可能 应该 必须 需要 希望 认为 觉得 知道
+了解 理解 发现 发生 进行 使用 提供 包括 成为 开始 结束 继续 停止
+完成 实现 达到 超过 增加 减少 提高 降低 改变 保持 获得 失去 选择
+决定 同意 反对 支持 帮助 影响 造成 导致 引起 出现 存在 表示 表明
+说明 介绍 解释 描述 讨论 研究 调查 报告 会议 活动 组织 参加 举行
+非常 十分 特别 尤其 比较 更加 最终 突然 逐渐 一直 总是 经常 有时
+几乎 大约 左右 以上 以下 之间 之后 之前 以后 以前 后来 同时 目前
+未来 过去 发展 经济 社会 国家 政府 世界 中国 美国 国际 国内 历史
+文化 教育 学校 大学 学生 老师 教授 工作 生活 时间 地方 城市 农村
+地区 人口 家庭 父母 孩子 朋友 同事 关系 企业 公司 银行 金融 投资
+市场 价格 增长 改革 政策 法律 制度 建设 环境 能源 交通 医疗 健康
+疾病 医院 医生 药物 食品 农业 工业 生产 产品 消费 贸易 出口 进口
+合作 竞争 创新 科学 项目 计划 目标 过程 阶段 情况 状态 条件 要求
+标准 水平 能力 经验 知识 音乐 电影 艺术 文学 小说 作者 读者 媒体
+记者 报道 电视 广播 手机 电脑 软件 硬件 程序 编程 数字 网站 邮件
+价值 意义 作用 效率 方式 方法 方向 意见 建议 交流 沟通 表达 证明
+观察 注意 重视 关注 兴趣 爱好 习惯 传统 现代 变化 差异 特点 特征
+优势 缺点 困难 挑战 机会 风险 危机 事故 灾害 战争 和平 自由 民主
+权利 责任 义务 道德 精神 思想 理论 观点 态度 行为 行动 措施 手段
+基础 结构 体系 机制 模式 类型 种类 数量 部分 全部 整个 主要 重点
+直接 间接 明显 严重 复杂 简单 容易 困难 快速 缓慢 巨大 微小 丰富
+积极 消极 正确 错误 成功 失败 努力 坚持 相信 怀疑 担心 害怕 高兴
+满意 失望 惊讶 生气 紧张 轻松 舒服 痛苦 幸福 快乐 悲伤 孤独 温暖
+寒冷 炎热 凉爽 美丽 漂亮 干净 整洁 安静 热闹 方便 困扰 安全 危险
+重要性 可能性 必要性 积极性 创造性 多样性 稳定性 灵活性
+""".split())
+
+ZH_DICT = ZH_DICT | _COMMON_WORDS
 _MAX_WORD_LEN = max(len(w) for w in ZH_DICT)
 
 try:  # optional byte-parity path when jieba exists
@@ -99,6 +139,13 @@ def zh_cut(text: str) -> list[str]:
     """
     if _HAVE_JIEBA:
         return _jieba.lcut(text)
+    return fmm_cut(text)
+
+
+def fmm_cut(text: str) -> list[str]:
+    """The FMM stand-in itself, callable regardless of jieba — the gated
+    parity test measures THIS against jieba.lcut (zh_cut would compare
+    jieba with itself when jieba is importable)."""
     tokens: list[str] = []
     buf: list[str] = []  # current non-CJK, non-space run
     cjk: list[str] = []  # current CJK run

@@ -122,6 +122,29 @@ def encode_positions(positions_per_doc: list[list[int]]) -> bytes:
     return vb_encode(np.asarray(flat, dtype=np.uint64))
 
 
+def split_position_payloads(buf: bytes, n_docs: int) -> list[bytes]:
+    """Slice a block's concatenated per-doc payloads back into the
+    per-(doc, term) byte segments — the exact inverse of the block
+    builder's ``b"".join``.  Pure byte slicing (no decode/re-encode
+    round trip), so re-blocking postings (compaction, shard rewrites)
+    moves payloads byte-identically."""
+    if n_docs == 0:
+        return []
+    b = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.nonzero((b & 0x80) == 0)[0]  # last byte index of each value
+    vals = vb_decode(buf)
+    out: list[bytes] = []
+    vi = 0
+    byte_start = 0
+    for _ in range(n_docs):
+        n = int(vals[vi])
+        byte_end = int(ends[vi + n]) + 1  # value vi is the count, vi+n the last delta
+        out.append(buf[byte_start:byte_end])
+        byte_start = byte_end
+        vi += n + 1
+    return out
+
+
 def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
     """Inverse of encode_positions."""
     vals = vb_decode(buf)

@@ -249,44 +249,42 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """SimHash signature as a bit string (MSB first).
 
-    Per token: take `bits` bits from md5(token) hex; per bit position,
+    Per token: take `bits` bits from md5(token); per bit position,
     weighted (by tf) majority vote over tokens.  Pure SQL expressions so
-    the DuckDB oracle reproduces it bit-for-bit. bits<=32 keeps it to 8
-    hex digits.
-    """
+    the DuckDB oracle reproduces it bit-for-bit.  bits<=32 keeps the
+    packed hash value within an exact BIGINT.
+
+    Shape (r3): the per-(doc, term) hash packs into ONE integer column
+    and the per-bit votes become `bits` integer-shift sum-aggregates —
+    vote(b) = 2*sum(tf * bit_b) - sum(tf).  r2 exploded 32 (id, term,
+    bit) rows per distinct term through a groupBy: correct and linear,
+    but ~32x the shuffle volume of this form (partial aggregation here
+    ships `bits`+1 longs per doc, not 32 rows per posting)."""
     n_hex = bits // 4
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(simple_tokens(F.col(text_col))).alias("tok"),
     )
     tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
-    hexed = tf.withColumn("h", F.substring(F.md5(F.col("tok")), 1, n_hex))
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    bitted = hexed.select(
-        "id", "tf", "h", bit_idx
-    ).withColumn(
-        "hexdig", F.expr("substring(h, cast(bit / 4 as int) + 1, 1)")
-    ).withColumn(
-        "digval", F.expr("instr('0123456789abcdef', hexdig) - 1")
-    ).withColumn(
-        "bitval", F.expr("shiftright(digval, cast(3 - bit % 4 as int)) % 2")
-    ).withColumn(
-        "contrib", F.when(F.col("bitval") == 1, F.col("tf")).otherwise(-F.col("tf"))
+    # hv: the first n_hex md5 hex digits as an integer — bit b (MSB
+    # first) of the signature input is (hv >> (bits-1-b)) & 1, exactly
+    # the r2 per-hex-digit decomposition
+    packed = tf.withColumn(
+        "hv", F.conv(F.substring(F.md5(F.col("tok")), 1, n_hex), 16, 10).cast("long")
     )
-    votes = bitted.groupBy("id", "bit").agg(F.sum("contrib").alias("v"))
-    return (
-        votes.withColumn("ch", F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0")))
-        .groupBy("id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("bit", "ch"))),
-                    lambda s: s["ch"],
-                ),
-            ).alias("simhash_bits")
-        )
-        .withColumnRenamed("id", id_col)
+    aggs = [
+        F.sum(
+            F.col("tf") * F.shiftright(F.col("hv"), bits - 1 - b).bitwiseAND(F.lit(1))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    votes = packed.groupBy("id").agg(F.sum("tf").alias("tot"), *aggs)
+    chars = [
+        F.when(2 * F.col(f"s{b}") - F.col("tot") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits)
+    ]
+    return votes.select(
+        F.col("id").alias(id_col), F.concat(*chars).alias("simhash_bits")
     )
 
 

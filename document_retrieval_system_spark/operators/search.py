@@ -325,19 +325,64 @@ def boolean_search(
     return _attach_doc_id(scored, reader, max_results)
 
 
+def _doc_set(reader, term: str) -> DataFrame:
+    """A term's (shard, local_no) doc set — decodes doc_bytes only
+    (column pruning keeps pos_bytes out of the scan entirely)."""
+    return flat_postings(
+        reader.postings().filter(F.col("term") == term), False
+    ).select("shard", "local_no")
+
+
+def _intersect_doc_sets(reader, terms: list[str]) -> DataFrame:
+    inter = None
+    for t in dict.fromkeys(terms):
+        ds = _doc_set(reader, t)
+        inter = ds if inter is None else inter.join(ds, ["shard", "local_no"], "left_semi")
+    return inter
+
+
+def _positions_pruned(reader, term: str, inter: DataFrame) -> DataFrame:
+    """Positions of `term` restricted to the pre-intersected doc set.
+
+    r2 exploded every position of every query term BEFORE any doc-level
+    pruning: for a phrase containing one common term that is
+    postings x positions cardinality feeding a join.  r3 order of work:
+
+    1. doc-set intersection (doc-cardinality, positions never touched);
+    2. block-level semi-join — posting blocks whose [first_doc,
+       last_doc] range holds NO intersection doc are dropped while
+       pos_bytes is still one undecoded binary cell, so the decode UDF
+       never sees them;
+    3. row-level semi-join on (shard, local_no), THEN the position
+       explode — position-cardinality work is bounded by the
+       intersection, not by the most common term.
+
+    The intersection subtree is re-evaluated per use (Spark recomputes
+    shared lineage); it costs doc-set decodes only, which is the cheap
+    currency here — at scale the position explode dominates.
+    """
+    blocks = reader.postings().filter(F.col("term") == term)
+    pruned = blocks.alias("b").join(
+        inter.alias("i"),
+        (F.col("b.shard") == F.col("i.shard"))
+        & (F.col("i.local_no") >= F.col("b.first_doc"))
+        & (F.col("i.local_no") <= F.col("b.last_doc")),
+        "left_semi",
+    )
+    return (
+        flat_postings(pruned, with_positions=True)
+        .join(inter, ["shard", "local_no"], "left_semi")
+        .select("shard", "local_no", F.explode("positions").alias("p"))
+    )
+
+
 def phrase_search(reader, phrase_terms: list[str]) -> DataFrame:
     """B7 (boolean_model.py:363-419): consecutive positions p, p+1, ..."""
     spark = reader.spark
     if not phrase_terms:
         return spark.createDataFrame([], "shard int, local_no long")
-    flats = [
-        flat_postings(
-            reader.postings().filter(F.col("term") == t), with_positions=True
-        ).select(
-            "shard", "local_no", F.explode("positions").alias("p")
-        )
-        for t in phrase_terms
-    ]
+    inter = _intersect_doc_sets(reader, phrase_terms)
+    flats = [_positions_pruned(reader, t, inter) for t in phrase_terms]
     base = flats[0].withColumnRenamed("p", "p0")
     for i in range(1, len(phrase_terms)):
         nxt = flats[i].withColumn("p0", F.col("p") - i).select("shard", "local_no", "p0")
@@ -347,12 +392,9 @@ def phrase_search(reader, phrase_terms: list[str]) -> DataFrame:
 
 def near_search(reader, term_a: str, term_b: str, distance: int = 5) -> DataFrame:
     """B6 (boolean_model.py:313-354): |pos_a - pos_b| <= distance."""
-    fa = flat_postings(
-        reader.postings().filter(F.col("term") == term_a), with_positions=True
-    ).select("shard", "local_no", F.explode("positions").alias("pa"))
-    fb = flat_postings(
-        reader.postings().filter(F.col("term") == term_b), with_positions=True
-    ).select("shard", "local_no", F.explode("positions").alias("pb"))
+    inter = _intersect_doc_sets(reader, [term_a, term_b])
+    fa = _positions_pruned(reader, term_a, inter).withColumnRenamed("p", "pa")
+    fb = _positions_pruned(reader, term_b, inter).withColumnRenamed("p", "pb")
     return (
         fa.join(fb, ["shard", "local_no"])
         .filter(F.abs(F.col("pa") - F.col("pb")) <= distance)

@@ -253,8 +253,14 @@ def bm25_wand_search(
     max_results: int = DEFAULT_MAX_RESULTS,
     min_score: float = DEFAULT_MIN_SCORE,
     analyzer=process_text,
+    counters: dict | None = None,
 ) -> DataFrame:
-    """Block-max WAND BM25 top-k; same contract as search.bm25_search."""
+    """Block-max WAND BM25 top-k; same contract as search.bm25_search.
+
+    ``counters``: optional {"total_blocks": Accumulator, "decoded_blocks":
+    Accumulator} — each shard kernel adds its block totals, so a bench can
+    report the decoded fraction (the pruning effectiveness) without
+    touching the result schema."""
     spark = reader.spark
     query_terms = analyzer(query, lang)
     if not query_terms:
@@ -286,7 +292,13 @@ def bm25_wand_search(
     w, a = dict(weights), float(avgdl)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _shard_kernel(pdf, w, a, k, ms)
+        if counters is None:
+            return _shard_kernel(pdf, w, a, k, ms)
+        st: dict = {}
+        out = _shard_kernel(pdf, w, a, k, ms, stats=st)
+        counters["total_blocks"].add(st.get("total_blocks", 0))
+        counters["decoded_blocks"].add(st.get("decoded_blocks", 0))
+        return out
 
     scored = blocks.groupBy("shard").applyInPandas(kernel, WAND_OUT_SCHEMA)
     docs = reader.docs().select("shard", "local_no", "doc_id", "url")

@@ -146,27 +146,42 @@ _P_CLOSERS = frozenset(
     "figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr main menu nav "
     "ol p pre section summary table ul".split()
 )
-# start tags that imply closing these same-level open elements first
-_IMPLIED_END = {
-    "li": frozenset(["li"]),
-    "dt": frozenset(["dt", "dd"]),
-    "dd": frozenset(["dt", "dd"]),
-    "tr": frozenset(["tr", "td", "th"]),
-    "td": frozenset(["td", "th"]),
-    "th": frozenset(["td", "th"]),
-    "option": frozenset(["option"]),
-}
-# elements that bound the upward scan (simplified button/table scope)
-_SCOPE_BARRIERS = frozenset(
-    "html body table caption applet object marquee template [document]".split()
+_HEADINGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+# the HTML "special" category (tree construction spec / html5lib
+# constants) — the li/dt/dd closing loops stop at these, EXCEPT
+# address/div/p which they scan straight through
+_SPECIAL = frozenset(
+    "address applet area article aside base basefont bgsound blockquote "
+    "body br button caption center col colgroup dd details dir div dl dt "
+    "embed fieldset figcaption figure footer form frame frameset h1 h2 h3 "
+    "h4 h5 h6 head header hgroup hr html iframe img input li link listing "
+    "main marquee menu meta nav noembed noframes noscript object ol p "
+    "param plaintext pre script section select source style summary table "
+    "tbody td textarea tfoot th thead title tr track ul wbr xmp".split()
 )
-# precomputed start-tag -> close-target set; absent = fast no-op (the
-# overwhelmingly common case on the per-start-tag hot path)
-_CLOSE_TARGETS: dict[str, frozenset] = {
-    t: frozenset({"p"}) | _IMPLIED_END.get(t, frozenset()) for t in _P_CLOSERS
+_LI_STOPS = _SPECIAL - frozenset(["address", "div", "p"])
+# button scope (the p-closing scope): the base scope list + button
+_SCOPE_BARRIERS = frozenset(
+    "html body table caption td th applet object marquee template button "
+    "[document]".split()
+)
+# item start tags: (close targets, scan stoppers beyond the barriers).
+# an li must NOT close an li on the far side of a nested <ul> (the new
+# li belongs INSIDE the nested list) but DOES scan through div/p; a td
+# must not reach past its row.
+_ITEM_RULES: dict[str, tuple[frozenset, frozenset]] = {
+    "li": (frozenset(["li"]), _LI_STOPS),
+    "dt": (frozenset(["dt", "dd"]), _LI_STOPS),
+    "dd": (frozenset(["dt", "dd"]), _LI_STOPS),
+    "tr": (frozenset(["tr", "td", "th"]),
+           frozenset(["tbody", "thead", "tfoot"])),
+    "td": (frozenset(["td", "th"]), frozenset(["tr", "tbody", "thead", "tfoot"])),
+    "th": (frozenset(["td", "th"]), frozenset(["tr", "tbody", "thead", "tfoot"])),
 }
-for _t, _v in _IMPLIED_END.items():
-    _CLOSE_TARGETS.setdefault(_t, _v)
+_P_SET = frozenset(["p"])
+_EMPTY = frozenset()
+# fast no-op guard for the per-start-tag hot path
+_NEEDS_CLOSE = _P_CLOSERS | frozenset(_ITEM_RULES) | frozenset(["option"])
 
 
 class _TreeBuilder(_StdHTMLParser):
@@ -175,17 +190,48 @@ class _TreeBuilder(_StdHTMLParser):
         self.root = Element("[document]")
         self.stack: list[Element] = [self.root]
 
-    def _implied_close(self, tag: str) -> None:
-        targets = _CLOSE_TARGETS.get(tag)
-        if targets is None:
-            return
+    def _scan_close(self, targets: frozenset, stops: frozenset,
+                    close_row: bool = False) -> None:
         for i in range(len(self.stack) - 1, 0, -1):
             name = self.stack[i].name
             if name in targets:
-                del self.stack[i:]
+                cut = i
+                if close_row and name in ("td", "th"):
+                    # html5lib clears back to table-body context: a new
+                    # row closes the open cell AND its row — cutting only
+                    # the cell would nest the new row inside the old one
+                    for j in range(i - 1, 0, -1):
+                        n2 = self.stack[j].name
+                        if n2 == "tr":
+                            cut = j
+                            break
+                        if n2 in _SCOPE_BARRIERS or n2 in stops:
+                            break
+                del self.stack[cut:]
                 return
-            if name in _SCOPE_BARRIERS or (tag in ("td", "th") and name == "tr"):
+            if name in _SCOPE_BARRIERS or name in stops:
                 return
+
+    def _implied_close(self, tag: str) -> None:
+        if tag not in _NEEDS_CLOSE:
+            return
+        rule = _ITEM_RULES.get(tag)
+        if rule is not None:
+            self._scan_close(rule[0], rule[1], close_row=(tag == "tr"))
+            if tag in ("li", "dt", "dd"):
+                # spec step after the item loop: ALSO close an open p in
+                # button scope (e.g. <div>a<p>b<li> puts li beside p)
+                self._scan_close(_P_SET, _EMPTY)
+            return
+        if tag in _P_CLOSERS:
+            self._scan_close(_P_SET, _EMPTY)
+            if tag in _HEADINGS and self.stack[-1].name in _HEADINGS:
+                # a heading start tag pops a heading CURRENT node
+                del self.stack[-1:]
+            return
+        if tag == "option" and self.stack[-1].name == "option":
+            # option closes only an option current node (no deep scan)
+            del self.stack[-1:]
 
     def handle_starttag(self, tag, attrs):
         self._implied_close(tag)

@@ -192,11 +192,22 @@ def extract_xlsx(data: bytes, path: str = "",
             for row in sheet.iter(f"{_S}row"):
                 r = int(row.get("r", "0") or 0)
                 if r == 0 or r > max_rows:
+                    # openpyxl sheet.max_column is sheet-wide: cells past
+                    # the row cap still widen the padding
+                    for c in row.findall(f"{_S}c"):
+                        col = _col_index(c.get("r", "A1"))
+                        if col <= max_cols:
+                            max_col_seen = max(max_col_seen, col)
                     continue
                 for c in row.findall(f"{_S}c"):
                     col = _col_index(c.get("r", "A1"))
                     if col > max_cols:
                         continue
+                    # reference pads to openpyxl's max_column, which counts
+                    # every cell PRESENT in the XML — styled-but-valueless
+                    # trailing cells included (value extraction may still
+                    # yield "")
+                    max_col_seen = max(max_col_seen, col)
                     t = c.get("t", "n")
                     if t == "inlineStr":
                         is_el = c.find(f"{_S}is")
@@ -214,7 +225,6 @@ def extract_xlsx(data: bytes, path: str = "",
                             val = _fmt_number(raw) if raw else ""
                     if val != "":
                         cells.setdefault(r, {})[col] = val
-                        max_col_seen = max(max_col_seen, col)
             rows_data = []
             for r in sorted(cells):
                 row_vals = [cells[r].get(c, "") for c in range(1, max_col_seen + 1)]
@@ -361,9 +371,14 @@ def make_simple_xlsx(sheets: dict[str, list[list[object]]],
             for ri, row in enumerate(sheets[n], start=1):
                 cells_xml = []
                 for ci, val in enumerate(row, start=1):
-                    if val is None or val == "":
-                        continue
                     ref = f"{col_letter(ci)}{ri}"
+                    if val is None:
+                        # styled-but-valueless cell: present in the XML with
+                        # no <v> — openpyxl's max_column counts it
+                        cells_xml.append(f'<c r="{ref}"/>')
+                        continue
+                    if val == "":
+                        continue
                     if isinstance(val, (int, float)):
                         cells_xml.append(f'<c r="{ref}"><v>{val}</v></c>')
                     else:

@@ -30,18 +30,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from document_retrieval_system_spark.operators.analyze import doc_term_rows
 from document_retrieval_system_spark.operators.index_build import (
     IndexPaths,
     add_doc_identity,
     assign_local_no,
     build_postings,
+    decoded_term_rows,
     finalize_index,
     fs_delete,
     fs_exists,
+    fs_touch,
     tokenize_docs,
 )
 from document_retrieval_system_spark.sources.corpus import PAGES_DDL
+
+# test fault injection: called between the docs overwrite and the
+# postings overwrite of a shard rewrite (the replay crash window)
+_AFTER_DOCS_WRITE_HOOK = None
 
 DOC_COLS = [
     "shard", "local_no", "doc_id", "url", "warc_ts", "lang",
@@ -106,31 +114,60 @@ def _rewrite_updated_shards(spark: SparkSession, batch_aff: DataFrame,
     (old rows minus superseded doc_ids) + (this batch's rows), with
     fresh dense local_no, and swap them in via dynamic partition
     overwrite.  Bounded by the updated shards — untouched shards are
-    never read or written."""
+    never read or written.
+
+    Analyzer work is proportional to the BATCH, not the shard (r2
+    re-tokenized every surviving doc of an updated shard — ~250k
+    re-analyses to update 1 doc): survivors keep their stored docs-table
+    row, and their posting rows are recovered from the existing
+    compressed blocks (``decoded_term_rows`` — vectorized codec + byte
+    slicing), renumbered to the new dense local_no, and re-blocked
+    together with the fresh rows' postings."""
     superseded = batch_aff.select("doc_id")
-    old = spark.read.parquet(paths.docs).filter(
-        F.col("shard").isin([int(s) for s in affected])
+    shard_filter = F.col("shard").isin([int(s) for s in affected])
+    old_docs = spark.read.parquet(paths.docs).filter(shard_filter)
+    old_blocks = spark.read.parquet(paths.postings).filter(shard_filter)
+
+    # the ONLY analyzer invocation: this batch's rows (checkpointed so the
+    # two consumers below don't re-run the UDF)
+    fresh_tok = tokenize_docs(batch_aff).localCheckpoint(eager=True)
+
+    surv_meta = (
+        old_docs.join(superseded, "doc_id", "left_anti")
+        .select("doc_id", "url", "warc_ts", "lang", "title", "text", "doc_len",
+                "shard", F.col("local_no").alias("_old_local"))
     )
-    survivors = old.join(superseded, "doc_id", "left_anti").select(
-        "url", "warc_ts",
-        F.lit(None).cast("binary").alias("html"),
-        "text", "lang", "doc_id", "shard",
-        # keep the stored title: re-analysis of extracted text would
-        # otherwise regress title to the url basename
-        F.col("title").alias("_old_title"),
+    union_meta = surv_meta.drop("_old_local").unionByName(
+        fresh_tok.select("doc_id", "url", "warc_ts", "lang", "title", "text",
+                         "doc_len", "shard")
     )
-    fresh = batch_aff.select(
-        "url", "warc_ts", "html", "text", "lang", "doc_id", "shard",
-        F.lit(None).cast("string").alias("_old_title"),
-    )
-    union = survivors.unionByName(fresh)
-    tok = assign_local_no(tokenize_docs(union))
-    tok = tok.withColumn(
-        "title", F.coalesce("_old_title", "title")
-    ).drop("_old_title")
+    tok = assign_local_no(union_meta)
     # the plan reads paths.docs which is about to be overwritten — freeze
     tok = tok.localCheckpoint(eager=True)
-    blocks = build_postings(doc_term_rows(tok)).localCheckpoint(eager=True)
+    new_no = tok.select("doc_id", "shard", "local_no")
+
+    # fresh posting rows: fused-UDF terms joined to the new numbering
+    fresh_rows = doc_term_rows(
+        fresh_tok.select("doc_id", "doc_len", "terms", "shard")
+        .join(new_no, ["doc_id", "shard"])
+    )
+    # survivor posting rows: decode old blocks, drop superseded docs,
+    # renumber old local_no -> new local_no (both doc-keyed equi-joins)
+    old_map = old_docs.select(
+        "shard", F.col("local_no").alias("_old_local"), "doc_id"
+    )
+    surv_rows = (
+        decoded_term_rows(old_blocks)
+        .withColumnRenamed("local_no", "_old_local")
+        .join(old_map, ["shard", "_old_local"])
+        .join(superseded, "doc_id", "left_anti")
+        .join(new_no.withColumnRenamed("local_no", "_new_local"), ["doc_id", "shard"])
+        .select("shard", F.col("_new_local").alias("local_no"), "term", "tf",
+                "pos_bytes", "doc_len")
+    )
+    blocks = build_postings(
+        fresh_rows.unionByName(surv_rows)
+    ).localCheckpoint(eager=True)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -141,6 +178,8 @@ def _rewrite_updated_shards(spark: SparkSession, batch_aff: DataFrame,
             .sortWithinPartitions("local_no")
             .write.partitionBy("shard").mode("overwrite").parquet(paths.docs)
         )
+        if _AFTER_DOCS_WRITE_HOOK is not None:
+            _AFTER_DOCS_WRITE_HOOK()
         (
             blocks.repartition(len(affected), "shard")
             .sortWithinPartitions("term", "block_no")
@@ -151,8 +190,6 @@ def _rewrite_updated_shards(spark: SparkSession, batch_aff: DataFrame,
     # a shard whose rebuilt postings are EMPTY (every surviving doc
     # tokenizes empty) is absent from `blocks`, so dynamic overwrite left
     # its stale partition behind — drop it explicitly
-    import os
-
     got = {r["shard"] for r in blocks.select("shard").distinct().collect()}
     for s in set(int(x) for x in affected) - got:
         fs_delete(spark, os.path.join(paths.postings, f"shard={s}"))
@@ -161,11 +198,28 @@ def _rewrite_updated_shards(spark: SparkSession, batch_aff: DataFrame,
     ).parquet(paths.manifest)
 
 
+def _intent_marker(paths: IndexPaths, batch_id: int) -> str:
+    return os.path.join(paths.root, "stream_intents", f"batch-{batch_id}")
+
+
 def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                   paths: IndexPaths, n_shards: int) -> None:
     if batch_df.isEmpty():
         return
     docs = add_doc_identity(batch_df, n_shards)
+
+    # Idempotency across crash/replay: an intent marker is written before
+    # ANY mutation and deleted only after the manifest commit.  If this
+    # batch_id's marker already exists, a previous attempt died mid-write
+    # (e.g. docs overwritten, postings not — Structured Streaming then
+    # replays the same batch, whose rows now carry warc_ts EQUAL to the
+    # stored ones).  The strict `>` guard would silently drop those rows
+    # and leave docs/postings numbering divergent forever; under an
+    # incomplete marker the guard widens to `>=` and every equal-ts
+    # re-send routes through the shard rewrite, which rebuilds from
+    # (survivors ∪ batch) and is idempotent by construction.
+    intent = _intent_marker(paths, batch_id)
+    replay_incomplete = fs_exists(spark, intent)
 
     # I6 incremental-upsert guard: drop urls already indexed with
     # warc_ts >= incoming (indexer.py:443-445); flag true updates.
@@ -174,9 +228,13 @@ def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         existing = spark.read.parquet(paths.docs).select(
             "doc_id", F.col("warc_ts").alias("old_ts")
         )
+        newer = (
+            (F.col("warc_ts") >= F.col("old_ts")) if replay_incomplete
+            else (F.col("warc_ts") > F.col("old_ts"))
+        )
         docs = (
             docs.join(existing, "doc_id", "left")
-            .filter(F.col("old_ts").isNull() | (F.col("warc_ts") > F.col("old_ts")))
+            .filter(F.col("old_ts").isNull() | newer)
             .withColumn("is_update", F.col("old_ts").isNotNull())
             .drop("old_ts")
         )
@@ -185,6 +243,7 @@ def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     # freeze before ANY write below mutates paths this plan reads
     docs = docs.localCheckpoint(eager=True)
     if docs.isEmpty():
+        fs_delete(spark, intent)  # nothing to redo; clear a stale marker
         return
 
     affected = [
@@ -194,16 +253,70 @@ def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     ins = docs.drop("is_update")
     if affected:
         ins = ins.filter(~F.col("shard").isin(affected))
+    fs_touch(spark, intent)  # intent BEFORE the first mutation
     if not ins.isEmpty():
         _append_inserts(spark, ins, batch_id, paths, have_docs)
     if affected:
         batch_aff = docs.drop("is_update").filter(F.col("shard").isin(affected))
         _rewrite_updated_shards(spark, batch_aff, affected, batch_id, paths)
+    fs_delete(spark, intent)  # commit point: marker gone = batch complete
+
+
+def compact_shards(spark: SparkSession, paths: IndexPaths,
+                   shards: list[int] | None = None) -> None:
+    """Merge delta posting segments — the compaction half of the
+    documented Iceberg merge-on-read analogue (module docstring): after N
+    append batches a (shard, term) posting list is scattered over N small
+    segments, each with its own (possibly single-posting) blocks and its
+    own block-max rows for WAND to sweep.  Compaction decodes every
+    posting row of the target shards (vectorized codec; position payloads
+    byte-sliced, never re-encoded; the analyzer NEVER runs) and re-runs
+    the batch block builder, collapsing the segments into one gap-aligned
+    BLOCK_SIZE-packed segment per (shard, term).  Docs partitions are
+    untouched; query results are identical with fewer, fuller blocks.
+
+    A deployment runs this on a cadence (every N stream batches / when a
+    shard's manifest shows segment count above a threshold)."""
+    blocks = spark.read.parquet(paths.postings)
+    if shards is not None:
+        blocks = blocks.filter(F.col("shard").isin([int(s) for s in shards]))
+    new_blocks = build_postings(decoded_term_rows(blocks)).localCheckpoint(
+        eager=True  # lineage reads paths.postings, about to be overwritten
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            new_blocks.repartition("shard")
+            .sortWithinPartitions("term", "block_no")
+            .write.partitionBy("shard").mode("overwrite").parquet(paths.postings)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        new_blocks.groupBy("shard")
+        .agg(
+            F.sum("n").alias("postings_emitted"),
+            F.count("*").alias("blocks"),
+            F.sum(F.length("doc_bytes")).alias("doc_bytes"),
+            F.sum(F.length("tf_bytes")).alias("tf_bytes"),
+            F.sum(F.length("dl_bytes")).alias("dl_bytes"),
+            F.sum(F.length("pos_bytes")).alias("pos_bytes"),
+        )
+        .select(
+            "shard",
+            F.lit(None).cast("long").alias("docs_parsed"),
+            F.lit(None).cast("long").alias("docs_indexed"),
+            "postings_emitted", "blocks", "doc_bytes", "tf_bytes", "dl_bytes",
+            "pos_bytes", F.lit("compaction").alias("status"),
+        )
+        .coalesce(1).write.mode("append").parquet(paths.manifest)
+    )
 
 
 def run_incremental(spark: SparkSession, incoming_dir: str, index_dir: str,
                     checkpoint_dir: str, n_shards: int = 32,
-                    finalize: bool = True) -> None:
+                    finalize: bool = True, compact: bool = False) -> None:
     """Process all currently-available new-page files once (availableNow),
     then refresh global stats.  Long-running deployments drop
     availableNow and leave the stream up."""
@@ -220,5 +333,7 @@ def run_incremental(spark: SparkSession, incoming_dir: str, index_dir: str,
         .start()
     )
     query.awaitTermination()
+    if compact:
+        compact_shards(spark, paths)
     if finalize:
         finalize_index(spark, paths)

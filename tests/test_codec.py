@@ -56,3 +56,29 @@ def test_compression_ratio_dense_ids():
     ids = np.arange(0, 100000, 3, dtype=np.uint64)
     encoded = vb_encode(delta_encode(ids))
     assert len(encoded) <= ids.size + 2  # delta=3 -> 1 byte each
+
+
+def test_split_position_payloads_inverts_concatenation():
+    """Byte-slicing a block payload must recover exactly the per-doc
+    segments whose concatenation built it (the re-blocking identity that
+    shard rewrites and compaction rely on)."""
+    import random
+
+    from document_retrieval_system_spark.operators.codec import (
+        encode_position_payloads,
+        encode_positions,
+        split_position_payloads,
+    )
+
+    rng = random.Random(13)
+    for trial in range(25):
+        lists = []
+        for _ in range(rng.randint(1, 40)):
+            n = rng.randint(1, 30)
+            pos = sorted(rng.sample(range(100000), n))
+            lists.append(pos)
+        per_doc = encode_position_payloads(lists)
+        block = b"".join(per_doc)
+        assert block == encode_positions(lists)
+        assert split_position_payloads(block, len(lists)) == per_doc
+    assert split_position_payloads(b"", 0) == []

@@ -102,3 +102,20 @@ def test_file_ingestion_s6_s7(spark, tmp_path):
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_xlsx_pads_to_styled_valueless_trailing_cells():
+    """openpyxl sheet.max_column counts cells PRESENT in the XML even when
+    their value is empty/None — rows must pad with trailing ' | '
+    separators to that width, not to the widest non-empty value."""
+    from document_retrieval_system_spark.sources.office_extract import (
+        extract_xlsx,
+        make_simple_xlsx,
+    )
+
+    # col 4 exists only as a valueless <c/> cell
+    data = make_simple_xlsx({"S1": [["a", "b", "c", None], ["d", "e"]]})
+    res = extract_xlsx(data, "t.xlsx")
+    lines = res["content"].split("\n\n")[1].splitlines()
+    assert lines[0] == "a | b | c | "
+    assert lines[1] == "d | e |  | "

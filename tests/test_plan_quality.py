@@ -57,3 +57,31 @@ def test_whole_stage_codegen_on_agg(spark):
 def test_query_term_stats_lookup_is_filtered(reader):
     df = reader.term_stats().filter(F.col("term").isin(["数据"]))
     assert "In" in pushed_filters(df) or "EqualTo" in pushed_filters(df)
+
+
+def _pos_decode_lines(df):
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    idx = [i for i, l in enumerate(lines) if "MapInPandas" in l and "pos_bytes" in l]
+    return plan, lines, idx
+
+
+def test_phrase_pos_decode_after_docset_semijoin(reader):
+    """r3 position-pruning contract: every pos_bytes-decoding UDF must sit
+    ABOVE a LeftSemi join (block range vs the pre-intersected doc set), so
+    positions of blocks holding no intersection doc are never decoded and
+    the explode is bounded by the intersection, not the most common term."""
+    from document_retrieval_system_spark.operators.search import (
+        near_search,
+        phrase_search,
+    )
+
+    for df in (
+        phrase_search(reader, ["数据", "算法"]),
+        near_search(reader, "数据", "算法", 5),
+    ):
+        plan, lines, idx = _pos_decode_lines(df)
+        assert idx, plan  # the decode exists
+        for i in idx:
+            below = "\n".join(lines[i + 1 : i + 4])
+            assert "Join LeftSemi" in below, (lines[i], below)

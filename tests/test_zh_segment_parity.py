@@ -7,7 +7,11 @@ contract (determinism, dictionary-word segmentation)."""
 
 import pytest
 
-from document_retrieval_system_spark.functions.zh_segment import _HAVE_JIEBA, zh_cut
+from document_retrieval_system_spark.functions.zh_segment import (
+    _HAVE_JIEBA,
+    fmm_cut,
+    zh_cut,
+)
 from document_retrieval_system_spark.operators.rules import DEFAULT_RULES
 from document_retrieval_system_spark.sources.corpus import (
     REFERENCE_QUERIES,
@@ -27,27 +31,49 @@ _VOCAB = (
 )
 
 
+def _boundaries(tokens: list[str]) -> set[int]:
+    """Cumulative cut positions — the token-boundary set of a segmentation."""
+    out, pos = set(), 0
+    for t in tokens:
+        pos += len(t)
+        out.add(pos)
+    return out
+
+
+def _boundary_parity(texts: list[str], cut_a, cut_b) -> float:
+    """Jaccard agreement of token boundaries across a text sample."""
+    inter = union = 0
+    for text in texts:
+        a, b = _boundaries(cut_a(text)), _boundaries(cut_b(text))
+        inter += len(a & b)
+        union += len(a | b)
+    return inter / union if union else 1.0
+
+
 @pytest.mark.skipif(not _HAVE_JIEBA, reason="jieba not installed in this env")
 def test_zh_cut_matches_jieba_on_reference_vocabulary():
     import jieba
 
     for text in _VOCAB:
-        assert zh_cut(text) == jieba.lcut(text), text
+        assert fmm_cut(text) == jieba.lcut(text), text
 
 
 @pytest.mark.skipif(not _HAVE_JIEBA, reason="jieba not installed in this env")
-def test_zh_cut_matches_jieba_on_sampled_corpus():
+def test_zh_cut_boundary_parity_on_sampled_corpus():
+    """Measured (never assumed) parity: >=99% token-boundary agreement on
+    the embedded corpus sample, reported as a percentage so the residual
+    divergence is visible, not binary."""
     import jieba
 
-    mismatches = []
+    texts = []
     for i in range(0, 200, 7):
         url, _ts, html, lang = gen_page(i)
         if lang != "zh":
             continue
-        text = extract_html(html, url)["content"]
-        if zh_cut(text) != jieba.lcut(text):
-            mismatches.append(url)
-    assert not mismatches, mismatches
+        texts.append(extract_html(html, url)["content"])
+    parity = _boundary_parity(texts, fmm_cut, jieba.lcut)
+    print(f"jieba boundary parity on corpus sample: {parity:.4%}")
+    assert parity >= 0.99, f"boundary parity {parity:.4%} below 99%"
 
 
 def test_fmm_standin_contract_without_jieba():
