@@ -4,11 +4,12 @@
   at sf0.001) — smoke check.
 - ``queries()``: one entry per implemented operator from SURVEY.md §2
   plus the training-data pipeline operators (dedup / ANN / text stats).
-- ``oracle_sql()``: DuckDB-runnable ANSI-SQL twins; omitted only for ops
-  that are genuinely not SQL-expressible (LSH-ANN with seeded
-  hyperplanes, reference highlighter, multimodal stub plumbing, the HTML
-  extractor) — those get the driver's rows-only check and are
-  oracle-verified in pytest instead.
+- ``oracle_sql()``: DuckDB-runnable ANSI-SQL twins (seeded hyperplanes /
+  IVF centroids ship as literal DOUBLE[] rows, so even the bucketed ANN
+  paths are hash-checked); omitted only for ops that are genuinely not
+  SQL-expressible (the reference highlighter's snippet text, multimodal
+  stub plumbing, the HTML extractor) — those get the driver's rows-only
+  check and are oracle-verified in pytest instead.
 
 Implementations live in document_retrieval_system_spark/entry_queries.py.
 """

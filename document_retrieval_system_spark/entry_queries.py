@@ -881,6 +881,99 @@ ORDER BY cosine DESC, vec_id LIMIT {k}"""
 SQL_ANN_LSH = _sql_ann_lsh(10)
 
 
+IVF_K, IVF_NPROBE, IVF_SEED = 16, 4, 11
+
+
+def _ivf_cents():
+    """Driver-entry IVF centroids: seeded Gaussian (data-independent).
+
+    The oracle SQL is a static string generated at import time, so it
+    cannot embed k-means centroids fitted on a particular sf_dir; seeded
+    centroids keep the whole path (assignment, cell pruning, rerank)
+    hash-checkable at any sf.  The DATA-FITTED path
+    (similarity.ivf_centroids, Lloyd on a driver-side sample) is what a
+    deployment uses and is pytest-verified against brute force on
+    clustered vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(IVF_SEED)
+    return rng.standard_normal((IVF_K, EMB_DIM))
+
+
+def _ensure_ivf_index(spark, sf_dir: str) -> str:
+    params = f"ivf{IVF_K}-s{IVF_SEED}"
+    idx = _entry_cache_dir("ivf", sf_dir, "embeddings.parquet", params)
+    if not os.path.exists(idx):
+        tmp = f"{idx}.tmp-{os.getpid()}"
+        similarity.build_ivf_index(_emb(spark, sf_dir), tmp, _ivf_cents())
+        _publish_cache_dir(tmp, idx)
+    return idx
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: embeddings persisted partitioned by nearest-
+    centroid cell; the query scans only its nprobe nearest cells
+    (partition pruning) and exact-cosine-reranks inside them."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = _ensure_ivf_index(spark, sf_dir)
+    return similarity.ivf_topk(
+        spark, idx, [float(x) for x in qvec], _ivf_cents(), k=10,
+        nprobe=IVF_NPROBE, pre_filter=F.col("vec_id") > 0,
+    ).select("vec_id", "cosine")
+
+
+def _sql_ann_ivf(k: int = 10) -> str:
+    """Oracle twin of the IVF path: centroid literals -> per-vector argmin
+    assignment (ordered-fold distances, ties to the lower centroid id,
+    exactly ivf_assign_col's array_sort tiebreak) -> the query's nprobe
+    nearest cells -> exact-cosine rerank of members, vec_id > 0."""
+    cents = _ivf_cents()
+    rows = ",\n    ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in cents[i]) + "]::DOUBLE[])"
+        for i in range(IVF_K)
+    )
+    return f"""
+WITH cents(cid, c) AS (VALUES
+    {rows}),
+d AS (
+  SELECT e.vec_id, ct.cid,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                  i -> (e.embedding[i]::DOUBLE - ct.c[i])
+                       * (e.embedding[i]::DOUBLE - ct.c[i]))) AS d
+  FROM embeddings e CROSS JOIN cents ct
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM d WHERE vec_id = 0
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id FROM assign a JOIN qcells USING (cid) WHERE a.vec_id > 0
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ver AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                 i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na
+  FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q
+),
+qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) AS qnorm FROM q)
+SELECT vec_id, round(dot / (na * qnorm), 6) AS cosine
+FROM ver CROSS JOIN qn
+ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+SQL_ANN_IVF = _sql_ann_ivf(10)
+
+
 def q_ta_langid(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -1059,7 +1152,7 @@ def _ensure_ann_index(spark, sf_dir: str) -> str:
         tmp = f"{idx}.tmp-{os.getpid()}"
         similarity.build_lsh_index(
             _emb(spark, sf_dir), tmp, sig_bits=ANN_SIG_BITS,
-            bucket_bits=ANN_BUCKET_BITS, seed=ANN_SEED,
+            bucket_bits=ANN_BUCKET_BITS, seed=ANN_SEED, dim=EMB_DIM,
         )
         _publish_cache_dir(tmp, idx)
     return idx
@@ -1322,6 +1415,7 @@ QUERIES = {
     "ta_fingerprint": (q_ta_fingerprint, SQL_TA_FINGERPRINT),
     "t7_keywords": (q_t7_keywords, SQL_T7),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     # Spark-only (rows-only driver check)
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),

@@ -197,3 +197,34 @@ def test_ann_index_scan_reads_subset_of_buckets(spark, clustered_emb, tmp_path):
     total = spark.read.parquet(idx).select(F.input_file_name()).distinct().count()
     assert touched < total
     assert cand.count() >= 1
+
+
+def test_ivf_fitted_index_pruning_and_recall(spark, clustered_emb, tmp_path):
+    """IVF ANN (data-fitted Lloyd centroids): the query must (a) carry an
+    ivf_cell PartitionFilter into the scan, (b) return the true
+    same-cluster neighbors (top-9 of the 10-member cluster exactly —
+    rank 10 is a cross-cluster ~0.5-cosine vector that may live in an
+    unprobed cell), (c) fit deterministically."""
+    cents = similarity.ivf_centroids(clustered_emb, n_clusters=20, iters=10, seed=7)
+    cents2 = similarity.ivf_centroids(clustered_emb, n_clusters=20, iters=10, seed=7)
+    assert (cents == cents2).all()
+
+    idx = str(tmp_path / "ivfidx")
+    similarity.build_ivf_index(clustered_emb, idx, cents)
+    n_cells = len([d for d in os.listdir(idx) if d.startswith("ivf_cell=")])
+    assert n_cells > 4  # pruning below is a strict subset
+
+    q = [float(x) for x in clustered_emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    res = similarity.ivf_topk(spark, idx, q, cents, k=10, nprobe=4,
+                              pre_filter=F.col("vec_id") > 0)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan.split("PartitionFilters", 1)[1][:500]
+
+    exact = similarity.cosine_topk(
+        clustered_emb.filter(F.col("vec_id") > 0), q, k=10
+    ).collect()
+    got = res.collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got[:9]] == [
+        (r["vec_id"], r["cosine"]) for r in exact[:9]
+    ]
