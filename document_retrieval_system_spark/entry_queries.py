@@ -1365,6 +1365,22 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+def q_mm_frames(spark, sf_dir):
+    """Multimodal frame sampling: video rows fan out to one row per
+    sampled timestamp (decode stubbed; the explode-shaped Arrow flow is
+    the real contract)."""
+    from document_retrieval_system_spark.sources.multimodal import (
+        sample_frames,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, 64)
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", "frame_no", "ts_ms", F.md5("frame").alias("frame_md5")
+    ).orderBy("media_id", "frame_no")
+
+
 def q_s4_extract_pages(spark, sf_dir):
     """S4 byte-identity extractor over 200 synthetic pages (rows-only in
     the driver; byte-identity itself is pytest-asserted vs the oracle)."""
@@ -1420,5 +1436,6 @@ QUERIES = {
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),
     "mm_features": (q_mm_features, None),
+    "mm_frames": (q_mm_frames, None),
     "s4_extract_pages": (q_s4_extract_pages, None),
 }

@@ -117,3 +117,44 @@ def test_multimodal_feature_plumbing(spark):
     again = {r["media_id"]: list(r["feature"]) for r in extract_features(media).collect()}
     first = {r["media_id"]: list(r["feature"]) for r in feats}
     assert again == first
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    """Resize + frame-sample plumbing: schemas, deterministic output,
+    explode-shaped fan-out proportional to duration, and column pruning
+    (payload/metadata only — never url/mime)."""
+    from document_retrieval_system_spark.plans.explain import read_schemas
+    from document_retrieval_system_spark.sources.multimodal import (
+        resize_images,
+        sample_frames,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, 30)
+
+    rz = resize_images(media, out_w=8, out_h=8)
+    rows = {r["media_id"]: r for r in rz.collect()}
+    assert len(rows) == 30
+    for r in rows.values():
+        assert r["out_w"] == 8 and r["out_h"] == 8
+        assert r["pixels"] is not None and len(r["pixels"]) == 64
+    rows2 = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+    assert all(bytes(rows[i]["pixels"]) == bytes(rows2[i]["pixels"]) for i in rows)
+    rs = read_schemas(rz)
+    assert "url" not in rs and "mime" not in rs, rs
+
+    fr = sample_frames(media, every_ms=1000)
+    got = fr.collect()
+    vids = {r["media_id"]: r for r in media.collect() if r["kind"] == "video"}
+    # fan-out exactly duration//every per video row (min 1), nothing else
+    from collections import Counter
+
+    per = Counter(r["media_id"] for r in got)
+    assert set(per) == {
+        m for m, r in vids.items() if r["payload"] is not None
+    }
+    for m, cnt in per.items():
+        assert cnt == max(1, vids[m]["duration_ms"] // 1000), m
+    for r in got:
+        assert r["ts_ms"] == r["frame_no"] * 1000
+        assert len(bytes(r["frame"])) == 32
