@@ -23,10 +23,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _lit_array(values) -> "F.Column":
+    """A literal double array as ONE parsed expression.  Building it from
+    per-element ``F.lit`` calls costs a py4j round trip per element —
+    measured 5.5 s of pure driver-side plan construction for a 64x64
+    hyperplane set; one ``F.expr`` string is milliseconds."""
+    return F.expr("array(" + ",".join(repr(float(x)) for x in values) + ")")
+
+
+def _lit_matrix(rows) -> "F.Column":
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(float(x)) for x in r) + ")" for r in rows
+        ) + ")"
+    )
+
+
 def _dot(vec_col, query: list[float]):
-    q = F.array(*[F.lit(float(x)) for x in query])
     return F.aggregate(
-        F.zip_with(vec_col, q, lambda x, y: x.cast("double") * y),
+        F.zip_with(vec_col, _lit_array(query), lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
 
@@ -59,19 +74,25 @@ def hyperplanes(dim: int, sig_bits: int = 16, seed: int = 7) -> np.ndarray:
 
 
 def lsh_signature_col(vec_col, planes: np.ndarray):
-    """Bit-string signature: sign of dot(vec, plane) per hyperplane."""
-    bits = []
-    for p in planes:
-        dp = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dp >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    """Bit-string signature: sign of dot(vec, plane) per hyperplane.
+
+    The plane matrix ships as one parsed literal and the per-plane loop
+    is a ``transform`` HOF — same per-plane ordered fold (bit-identical
+    arithmetic to the former per-plane expression list), but the plan
+    builds in milliseconds instead of one py4j call per matrix element.
+    The transform input is the literal matrix, so the no-CSE HOF trap
+    (re-evaluating a captured expression per element) does not apply."""
+    bits = F.transform(
+        _lit_matrix(planes),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec_col, p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.concat_ws("", bits)
 
 
 def query_signature(query: list[float], planes: np.ndarray) -> str:
@@ -202,26 +223,27 @@ def ivf_centroids(emb: DataFrame, n_clusters: int = 16, iters: int = 10,
     return cents
 
 
-def _sq_dist(vec_col, center: list[float]):
+def _sq_dist_expr(vec_col, center_col):
     """||v - c||^2 as an ordered fold (oracle-parity shape)."""
-    c = F.array(*[F.lit(float(x)) for x in center])
     return F.aggregate(
-        F.zip_with(vec_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.zip_with(vec_col, center_col,
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
 
 
 def ivf_assign_col(vec_col, cents: np.ndarray):
     """Nearest-centroid id: argmin over per-centroid squared distances,
-    ties to the lower id.  array_sort on (dist, id) structs keeps the
-    whole argmin in JVM codegen — no UDF."""
-    pairs = F.array(*[
-        F.struct(
-            _sq_dist(vec_col, cents[i].tolist()).alias("d"),
-            F.lit(i).alias("cid"),
-        )
-        for i in range(len(cents))
-    ])
+    ties to the lower id.  Centroids ship as one literal matrix; the
+    2-arg transform lambda receives (centroid, index) so the index IS
+    the centroid id; array_sort on (dist, id) structs keeps the whole
+    argmin in JVM — no UDF, no per-element py4j plan cost."""
+    pairs = F.transform(
+        _lit_matrix(cents),
+        lambda c, i: F.struct(
+            _sq_dist_expr(vec_col, c).alias("d"), i.alias("cid")
+        ),
+    )
     return F.array_sort(pairs)[0]["cid"]
 
 
