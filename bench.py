@@ -100,6 +100,23 @@ def main() -> None:
             counters["decoded_blocks"].value / max(1, counters["total_blocks"].value), 4
         ),
     }
+    # Context for that number: the sf corpus draws tokens i.i.d., so every
+    # block of a term carries near-identical bounds and decoded_frac is
+    # ~1.0 BY CONSTRUCTION of the data, not a kernel defect.  Run the
+    # kernel directly on docID-clustered postings (URL-sorted-crawl
+    # locality — the 100 TB case) at two volumes to show pruning engage:
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import bench_wand_pruning as bwp
+
+    clustered = {}
+    for n_docs in (40_000, 640_000):
+        pdf = bwp.synth_blocks(n_docs)
+        st: dict = {}
+        from document_retrieval_system_spark.operators.wand import _shard_kernel
+
+        _shard_kernel(pdf, bwp.WEIGHTS, 220.0, k=20, min_score=0.0, stats=st)
+        clustered[str(n_docs)] = round(st["decoded_blocks"] / st["total_blocks"], 4)
+    wand_blocks["clustered_decoded_frac"] = clustered
     lat.sort()
     p50 = lat[len(lat) // 2]
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
