@@ -1381,6 +1381,50 @@ def q_mm_frames(spark, sf_dir):
     ).orderBy("media_id", "frame_no")
 
 
+def q_s8_assets(spark, sf_dir):
+    """S8 (html_parser.py:157-201 / docx_parser.py:103-147 /
+    pdf_parser.py:77-120 / xlsx_parser.py:109-148): image/chart asset
+    extraction over a deterministic fixture directory of all four
+    formats (rows-only: byte payloads and OOXML part walking are not
+    SQL-expressible; per-format semantics are pytest goldens)."""
+    import tempfile
+
+    from document_retrieval_system_spark.sources.asset_extract import (
+        assets_from_dir,
+    )
+    from document_retrieval_system_spark.sources.office_extract import (
+        make_simple_docx,
+        make_simple_xlsx,
+    )
+    from document_retrieval_system_spark.sources.pdf_extract import make_simple_pdf
+
+    d = tempfile.mkdtemp(prefix="drs_s8_")
+    html = "".join(
+        f'<p>x</p><img src="https://cdn.example.com/{i}.png" alt="img {i}">'
+        for i in range(5)
+    )
+    with open(os.path.join(d, "a.html"), "w", encoding="utf-8") as f:
+        f.write(f"<html><body>{html}</body></html>")
+    with open(os.path.join(d, "b.docx"), "wb") as f:
+        f.write(make_simple_docx(["doc"], images=[b"IMGA" * 8, b"IMGB" * 4]))
+    with open(os.path.join(d, "c.pdf"), "wb") as f:
+        f.write(make_simple_pdf([["page"]], images=[bytes(range(32))]))
+    with open(os.path.join(d, "e.xlsx"), "wb") as f:
+        f.write(make_simple_xlsx(
+            {"S1": [["v", 1]]},
+            charts={"S1": [("barChart", "B"), ("pieChart", "P")]},
+        ))
+    return (
+        assets_from_dir(spark, d)
+        .select(
+            F.element_at(F.split("url", "/"), -1).alias("file"),
+            "kind", "asset_no", "name", "alt", "title", "ext", "n_bytes",
+            F.md5(F.coalesce(F.col("payload"), F.lit(b""))).alias("payload_md5"),
+        )
+        .orderBy("file", "kind", "asset_no")
+    )
+
+
 def q_s4_extract_pages(spark, sf_dir):
     """S4 byte-identity extractor over 200 synthetic pages (rows-only in
     the driver; byte-identity itself is pytest-asserted vs the oracle)."""
@@ -1437,5 +1481,6 @@ QUERIES = {
     "t8_highlights": (q_t8_highlights, None),
     "mm_features": (q_mm_features, None),
     "mm_frames": (q_mm_frames, None),
+    "s8_assets": (q_s8_assets, None),
     "s4_extract_pages": (q_s4_extract_pages, None),
 }

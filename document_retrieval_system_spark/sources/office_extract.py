@@ -273,7 +273,8 @@ def _core_xml(title: str | None, author: str | None) -> str:
 
 
 def make_simple_docx(paragraphs: list[str], tables: list[list[list[str]]] | None = None,
-                     title: str | None = None, author: str | None = None) -> bytes:
+                     title: str | None = None, author: str | None = None,
+                     images: list[bytes] | None = None) -> bytes:
     def esc(s: str) -> str:
         return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
@@ -301,11 +302,32 @@ def make_simple_docx(paragraphs: list[str], tables: list[list[list[str]]] | None
         zf.writestr("_rels/.rels", _RELS_ROOT_DOCX)
         zf.writestr("word/document.xml", doc)
         zf.writestr("docProps/core.xml", _core_xml(title, author))
+        if images:
+            rels = "".join(
+                f'<Relationship Id="rIdImg{i+1}" '
+                'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+                'relationships/image" '
+                f'Target="media/image{i+1}.png"/>'
+                for i in range(len(images))
+            )
+            zf.writestr(
+                "word/_rels/document.xml.rels",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                f'package/2006/relationships">{rels}</Relationships>',
+            )
+            for i, blob in enumerate(images):
+                zf.writestr(f"word/media/image{i+1}.png", blob)
     return buf.getvalue()
 
 
 def make_simple_xlsx(sheets: dict[str, list[list[object]]],
-                     title: str | None = None) -> bytes:
+                     title: str | None = None,
+                     charts: dict[str, list[tuple[str, str]]] | None = None) -> bytes:
+    """``charts``: sheet name -> [(chart_tag, title)], e.g.
+    ("barChart", "Sales") — written as the full OOXML part chain
+    (sheet rels -> drawing -> drawing rels -> chart part), the structure
+    the S8 chart extractor walks."""
     def esc(s: str) -> str:
         return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
@@ -388,10 +410,54 @@ def make_simple_xlsx(sheets: dict[str, list[list[object]]],
                         )
                 if cells_xml:
                     rows_xml.append(f'<row r="{ri}">{"".join(cells_xml)}</row>')
+            has_charts = bool((charts or {}).get(n))
+            drawing_el = '<drawing r:id="rIdD1"/>' if has_charts else ""
+            ns_r = (' xmlns:r="http://schemas.openxmlformats.org/'
+                    'officeDocument/2006/relationships"' if has_charts else "")
             sheet_xml = (
                 '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-                f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>"
+                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+                f"{ns_r}>"
+                f"<sheetData>{''.join(rows_xml)}</sheetData>{drawing_el}</worksheet>"
             )
             zf.writestr(f"xl/worksheets/sheet{i+1}.xml", sheet_xml)
+            if has_charts:
+                zf.writestr(
+                    f"xl/worksheets/_rels/sheet{i+1}.xml.rels",
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                    '<Relationship Id="rIdD1" '
+                    'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/drawing" '
+                    f'Target="../drawings/drawing{i+1}.xml"/></Relationships>',
+                )
+                chart_rels = []
+                for ci, (tag, ctitle) in enumerate(charts[n]):
+                    part = f"xl/charts/chart_s{i+1}_{ci+1}.xml"
+                    chart_rels.append(
+                        f'<Relationship Id="rIdC{ci+1}" '
+                        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/chart" '
+                        f'Target="../charts/chart_s{i+1}_{ci+1}.xml"/>'
+                    )
+                    zf.writestr(
+                        part,
+                        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                        '<c:chartSpace xmlns:c="http://schemas.openxmlformats.org/drawingml/2006/chart" '
+                        'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+                        "<c:chart>"
+                        f"<c:title><c:tx><c:rich><a:p><a:r><a:t>{esc(ctitle)}</a:t>"
+                        "</a:r></a:p></c:rich></c:tx></c:title>"
+                        f"<c:plotArea><c:layout/><c:{tag}/></c:plotArea>"
+                        "</c:chart></c:chartSpace>",
+                    )
+                zf.writestr(
+                    f"xl/drawings/drawing{i+1}.xml",
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                    '<xdr:wsDr xmlns:xdr="http://schemas.openxmlformats.org/drawingml/2006/spreadsheetDrawing"/>',
+                )
+                zf.writestr(
+                    f"xl/drawings/_rels/drawing{i+1}.xml.rels",
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                    + "".join(chart_rels) + "</Relationships>",
+                )
     return buf.getvalue()

@@ -230,13 +230,17 @@ def _escape_literal(s: str) -> bytes:
 
 
 def make_simple_pdf(pages: list[list[str]], title: str | None = None,
-                    compress: bool = False) -> bytes:
+                    compress: bool = False,
+                    images: list[bytes] | None = None) -> bytes:
     """Minimal well-formed PDF: one content stream per page, one Tj per
-    line.  ``compress=True`` flate-encodes the streams."""
+    line.  ``compress=True`` flate-encodes the streams.  ``images``
+    become uncompressed /Image XObjects in page 1's /Resources (the S8
+    extraction fixture — bytes round-trip undecoded)."""
     objs: list[bytes] = []
     n_pages = len(pages)
     page_obj_ids = [3 + 2 * i for i in range(n_pages)]
     kids = b" ".join(b"%d 0 R" % i for i in page_obj_ids)
+    img_ids = [3 + 2 * n_pages + j for j in range(len(images or []))]
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
     objs.append(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
@@ -256,11 +260,24 @@ def make_simple_pdf(pages: list[list[str]], title: str | None = None,
                 b"<< /Length %d >>\nstream\n" % len(content)
                 + content + b"\nendstream"
             )
+        resources = b""
+        if i == 0 and img_ids:
+            xobjs = b" ".join(
+                b"/Im%d %d 0 R" % (j + 1, oid) for j, oid in enumerate(img_ids)
+            )
+            resources = b"/Resources << /XObject << " + xobjs + b" >> >> "
         objs.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Contents %d 0 R >>" % (page_obj_ids[i] + 1)
+            + resources
+            + b"/Contents %d 0 R >>" % (page_obj_ids[i] + 1)
         )
         objs.append(stream_obj)
+    for blob in images or []:
+        objs.append(
+            b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length %d >>"
+            b"\nstream\n" % len(blob) + blob + b"\nendstream"
+        )
     info_id = None
     if title is not None:
         objs.append(b"<< /Title (" + _escape_literal(title) + b") >>")
