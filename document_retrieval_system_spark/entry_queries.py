@@ -1070,7 +1070,7 @@ FROM g"""
 # artifacts (shared temp dir across driver runs) are never reused.
 # v3: gap-aligned posting block boundaries.  v4: tagged ("b"-prefixed)
 # ANN bucket partition values.
-ENTRY_CACHE_VERSION = 4
+ENTRY_CACHE_VERSION = 5
 
 
 def _content_fingerprint(path: str) -> str:
@@ -1398,22 +1398,29 @@ def q_s8_assets(spark, sf_dir):
     )
     from document_retrieval_system_spark.sources.pdf_extract import make_simple_pdf
 
-    d = tempfile.mkdtemp(prefix="drs_s8_")
-    html = "".join(
-        f'<p>x</p><img src="https://cdn.example.com/{i}.png" alt="img {i}">'
-        for i in range(5)
+    # deterministic fixture, built once per cache version (a mkdtemp per
+    # invocation litters the shared temp dir across bench/driver runs)
+    d = os.path.join(
+        tempfile.gettempdir(), f"drs_s8_fixture_e{ENTRY_CACHE_VERSION}"
     )
-    with open(os.path.join(d, "a.html"), "w", encoding="utf-8") as f:
-        f.write(f"<html><body>{html}</body></html>")
-    with open(os.path.join(d, "b.docx"), "wb") as f:
-        f.write(make_simple_docx(["doc"], images=[b"IMGA" * 8, b"IMGB" * 4]))
-    with open(os.path.join(d, "c.pdf"), "wb") as f:
-        f.write(make_simple_pdf([["page"]], images=[bytes(range(32))]))
-    with open(os.path.join(d, "e.xlsx"), "wb") as f:
-        f.write(make_simple_xlsx(
-            {"S1": [["v", 1]]},
-            charts={"S1": [("barChart", "B"), ("pieChart", "P")]},
-        ))
+    if not os.path.isdir(d):
+        tmp = tempfile.mkdtemp(prefix="drs_s8_stage_")
+        html = "".join(
+            f'<p>x</p><img src="https://cdn.example.com/{i}.png" alt="img {i}">'
+            for i in range(5)
+        )
+        with open(os.path.join(tmp, "a.html"), "w", encoding="utf-8") as f:
+            f.write(f"<html><body>{html}</body></html>")
+        with open(os.path.join(tmp, "b.docx"), "wb") as f:
+            f.write(make_simple_docx(["doc"], images=[b"IMGA" * 8, b"IMGB" * 4]))
+        with open(os.path.join(tmp, "c.pdf"), "wb") as f:
+            f.write(make_simple_pdf([["page"]], images=[bytes(range(32))]))
+        with open(os.path.join(tmp, "e.xlsx"), "wb") as f:
+            f.write(make_simple_xlsx(
+                {"S1": [["v", 1]]},
+                charts={"S1": [("barChart", "B"), ("pieChart", "P")]},
+            ))
+        _publish_cache_dir(tmp, d)
     return (
         assets_from_dir(spark, d)
         .select(

@@ -337,6 +337,90 @@ def _done_shards(spark: SparkSession, paths: IndexPaths) -> set[int]:
     return {r["shard"] for r in rows}
 
 
+# the manifest is an append-only event log; every writer emits this exact
+# column set.  ``kind`` gives rows aggregate semantics: an 'append' row's
+# posting counters describe segments ADDED by that event (build waves,
+# stream insert batches), a 'snapshot' row's counters describe the FULL
+# post-event state of its shard (shard rewrite, compaction) and supersede
+# everything earlier — see manifest_stats.
+MANIFEST_COLS = [
+    "shard", "docs_parsed", "docs_indexed", "postings_emitted", "blocks",
+    "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "status", "kind",
+    "committed_at",
+]
+
+
+def block_counter_agg(blocks: DataFrame) -> DataFrame:
+    """Per-shard posting/compression counters over a blocks frame — the
+    one definition every manifest writer shares."""
+    return blocks.groupBy("shard").agg(
+        F.sum("n").alias("postings_emitted"),
+        F.count("*").alias("blocks"),
+        F.sum(F.length("doc_bytes")).alias("doc_bytes"),
+        F.sum(F.length("tf_bytes")).alias("tf_bytes"),
+        F.sum(F.length("dl_bytes")).alias("dl_bytes"),
+        F.sum(F.length("pos_bytes")).alias("pos_bytes"),
+    )
+
+
+def manifest_stats(manifest: DataFrame) -> dict:
+    """Index totals from the manifest event log, honoring row semantics
+    (summing the raw rows double-counts):
+
+    - a replayed stream batch re-appends rows for the same (shard,
+      batch) — possibly under a DIFFERENT status, because the replay
+      routes equal-warc_ts rows through the shard REWRITE path
+      ('stream-update-batch-N') where the first attempt appended
+      ('stream-batch-N') — so rows dedupe on the batch id embedded in
+      the status, latest committed row wins;
+    - posting counters of a shard are (its latest 'snapshot' row if any)
+      + 'append' rows committed after it; earlier posting history for
+      that shard is superseded (the snapshot event rewrote the shard);
+    - docs_parsed/docs_indexed are parse-lineage and always sum (over
+      the deduped rows)."""
+    evt = F.regexp_extract(F.col("status"), r"(batch-\d+)$", 1)
+    w = Window.partitionBy("shard", "_evt").orderBy(
+        F.col("committed_at").desc(), F.col("kind").desc()
+    )
+    m1 = (
+        manifest.withColumn(
+            "_evt", F.when(evt != "", evt).otherwise(F.col("status"))
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_evt")
+    )
+    ws = Window.partitionBy("shard").orderBy(F.col("committed_at").desc())
+    snaps = (
+        m1.filter(F.col("kind") == "snapshot")
+        .withColumn("_sn", F.row_number().over(ws))
+        .filter(F.col("_sn") == 1)
+        .select("shard", F.col("committed_at").alias("_snap_ts"))
+    )
+    live = m1.join(snaps, "shard", "left").filter(
+        F.col("_snap_ts").isNull()
+        | (F.col("committed_at") > F.col("_snap_ts"))
+        | ((F.col("kind") == "snapshot")
+           & (F.col("committed_at") == F.col("_snap_ts")))
+    )
+    row = (
+        m1.agg(
+            F.sum("docs_parsed").alias("docs_parsed"),
+            F.sum("docs_indexed").alias("docs_indexed"),
+        )
+        .crossJoin(
+            live.agg(
+                F.sum("postings_emitted").alias("postings"),
+                F.sum("blocks").alias("blocks"),
+                (F.sum("doc_bytes") + F.sum("tf_bytes") + F.sum("dl_bytes")
+                 + F.sum("pos_bytes")).alias("compressed_bytes"),
+            )
+        )
+        .collect()[0]
+    )
+    return row.asDict()
+
+
 TARGET_DOCS_PER_SHARD = 250_000
 
 
@@ -445,16 +529,13 @@ def build_index(
             blk = _read_postings_or_empty(spark, paths).filter(
                 F.col("shard").isin([int(s) for s in wave])
             )
-            blk_agg = blk.groupBy("shard").agg(
-                F.sum("n").alias("postings_emitted"),
-                F.count("*").alias("blocks"),
-                F.sum(F.length("doc_bytes")).alias("doc_bytes"),
-                F.sum(F.length("tf_bytes")).alias("tf_bytes"),
-                F.sum(F.length("dl_bytes")).alias("dl_bytes"),
-                F.sum(F.length("pos_bytes")).alias("pos_bytes"),
-            )
-            manifest = docs_agg.join(blk_agg, "shard", "left").withColumn(
-                "status", F.lit("done")
+            blk_agg = block_counter_agg(blk)
+            manifest = (
+                docs_agg.join(blk_agg, "shard", "left")
+                .withColumn("status", F.lit("done"))
+                .withColumn("kind", F.lit("append"))
+                .withColumn("committed_at", F.current_timestamp())
+                .select(*MANIFEST_COLS)
             )
             manifest.coalesce(1).write.mode("append").parquet(paths.manifest)
         finally:

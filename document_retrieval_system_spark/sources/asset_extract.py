@@ -32,6 +32,7 @@ import posixpath
 import re
 import zipfile
 from io import BytesIO
+from urllib.parse import urlsplit
 
 import xml.etree.ElementTree as ET
 
@@ -135,26 +136,10 @@ def _mini_pdf_images(data: bytes) -> list[dict]:
     from document_retrieval_system_spark.sources.pdf_extract import _MiniPdf
 
     mini = _MiniPdf(data)
-    # page order exactly as page_texts() walks it
-    pages: list[int] = []
-    for body in mini.objs.values():
-        if b"/Type" in body and b"/Catalog" in body:
-            m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", body)
-            if m:
-                def walk(num: int) -> None:
-                    b = mini._resolve(num)
-                    if b"/Kids" in b:
-                        km = re.search(rb"/Kids\s*\[(.*?)\]", b, re.S)
-                        if km:
-                            for r in re.finditer(rb"(\d+)\s+\d+\s+R", km.group(1)):
-                                walk(int(r.group(1)))
-                    elif b"/Page" in b:
-                        pages.append(num)
-
-                walk(int(m.group(1)))
-            break
     out: list[dict] = []
-    for page_no, pnum in enumerate(pages, start=1):
+    # page-tree order + /Length-bounded stream slicing shared with the
+    # S5 text extractor — one traversal, one byte-bound implementation
+    for page_no, pnum in enumerate(mini.page_numbers(), start=1):
         body = mini._resolve(pnum)
         xm = _XOBJ_DICT_RE.search(body)
         if not xm:
@@ -163,19 +148,13 @@ def _mini_pdf_images(data: bytes) -> list[dict]:
             obj = mini._resolve(int(ref))
             if b"/Subtype" not in obj or b"/Image" not in obj:
                 continue
-            head = obj[:obj.find(b"stream")] if b"stream" in obj else obj
+            got = mini.raw_stream_of(obj)
+            if got is None:
+                continue
+            head, blob = got
             ext = _pdf_image_ext(head)
             # raw stream bytes, undecoded (parity: the reference writes
             # xobj.data without decoding either)
-            i = obj.find(b"stream")
-            if i < 0:
-                continue
-            start = i + len(b"stream")
-            if obj[start:start + 2] == b"\r\n":
-                start += 2
-            elif obj[start:start + 1] == b"\n":
-                start += 1
-            blob = obj[start:obj.rfind(b"endstream")].rstrip(b"\r\n")
             out.append({
                 "page": page_no,
                 "name": f"{name.decode('ascii')}.{ext}", "ext": ext,
@@ -275,7 +254,10 @@ def extract_assets(files) -> "DataFrame":  # noqa: F821 - pyspark DataFrame
                 if p.endswith((".html", ".htm")):
                     text = content.decode("utf-8", errors="ignore")
                     for i, d in enumerate(extract_html_images(text)):
-                        ext = d["src"].rsplit(".", 1)[-1] if "." in d["src"] else ""
+                        # ext from the URL *path* component only — domain
+                        # dots and ?query/#fragment must not leak into it
+                        ext = posixpath.splitext(
+                            urlsplit(d["src"]).path)[1].lstrip(".")
                         rows.append((r.path, "html_image", i, d["src"],
                                      d["alt"], d["title"], ext, None, None))
                 elif p.endswith(".docx"):

@@ -115,29 +115,61 @@ class _MiniPdf:
         }
         self.trailer = data[data.rfind(b"trailer"):]
 
-    def _stream_of(self, body: bytes) -> bytes | None:
+    def raw_stream_of(self, body: bytes) -> tuple[bytes, bytes] | None:
+        """(dict head, raw stream bytes) — stream bounded by /Length when
+        the dict carries one (the spec's authoritative byte count; the
+        EOL before ``endstream`` is NOT part of the data, and slicing by
+        ``endstream`` + rstrip would eat payload bytes that legitimately
+        end in 0x0A/0x0D).  Indirect /Length refs are resolved; only
+        when no usable /Length exists do we fall back to the endstream
+        bound, stripping exactly ONE end-of-line marker."""
         i = body.find(b"stream")
         if i < 0:
             return None
+        head = body[:i]
         start = i + len(b"stream")
         if body[start:start + 2] == b"\r\n":
             start += 2
-        elif body[start:start + 1] == b"\n":
+        elif body[start:start + 1] in (b"\n", b"\r"):
             start += 1
+        length = None
+        lm = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", head)
+        if lm:
+            if lm.group(2):  # indirect: /Length N G R -> integer object N
+                tm = re.match(rb"\s*(\d+)", self._resolve(int(lm.group(1))))
+                length = int(tm.group(1)) if tm else None
+            else:
+                length = int(lm.group(1))
+        if length is not None and start + length <= len(body):
+            return head, body[start:start + length]
         end = body.rfind(b"endstream")
+        if end < 0:
+            end = len(body)
         raw = body[start:end]
-        head = body[:i]
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
+        return head, raw
+
+    def _stream_of(self, body: bytes) -> bytes | None:
+        got = self.raw_stream_of(body)
+        if got is None:
+            return None
+        head, raw = got
         if b"/FlateDecode" in head:
             return zlib.decompress(raw)
         if b"/Filter" in head:
             raise ValueError("unsupported stream filter")
-        return raw.rstrip(b"\r\n")
+        return raw
 
     def _resolve(self, num: int) -> bytes:
         return self.objs.get(num, b"")
 
-    def page_texts(self) -> list[str]:
-        # page tree root: the catalog's /Pages
+    def page_numbers(self) -> list[int]:
+        """Page object numbers in page-tree (catalog /Pages /Kids) order
+        — the single traversal shared by the text (S5) and image (S8)
+        extractors."""
         pages_obj = None
         for body in self.objs.values():
             if b"/Type" in body and b"/Catalog" in body:
@@ -159,8 +191,11 @@ class _MiniPdf:
 
         if pages_obj is not None:
             walk(pages_obj)
+        return kids
+
+    def page_texts(self) -> list[str]:
         texts = []
-        for pnum in kids:
+        for pnum in self.page_numbers():
             body = self._resolve(pnum)
             m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
             if not m:

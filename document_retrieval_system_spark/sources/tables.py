@@ -172,13 +172,13 @@ def index_statistics(reader) -> dict:
         r["lang"]: r["count"]
         for r in reader.docs().groupBy("lang").count().collect()
     }
-    m = reader.manifest().agg(
-        F.sum("docs_parsed").alias("docs_parsed"),
-        F.sum("postings_emitted").alias("postings"),
-        F.sum("blocks").alias("blocks"),
-        (F.sum("doc_bytes") + F.sum("tf_bytes") + F.sum("dl_bytes")
-         + F.sum("pos_bytes")).alias("compressed_bytes"),
-    ).collect()[0]
+    # event-log aware aggregation: raw sums would double-count after a
+    # compaction/rewrite snapshot or a replayed stream batch
+    from document_retrieval_system_spark.operators.index_build import (
+        manifest_stats,
+    )
+
+    m = manifest_stats(reader.manifest())
     n_terms = reader.term_stats().count()
     return {
         **corpus,

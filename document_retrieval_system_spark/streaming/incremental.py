@@ -34,9 +34,10 @@ import os
 
 from document_retrieval_system_spark.operators.analyze import doc_term_rows
 from document_retrieval_system_spark.operators.index_build import (
+    MANIFEST_COLS,
     IndexPaths,
     add_doc_identity,
-    assign_local_no,
+    block_counter_agg,
     build_postings,
     decoded_term_rows,
     finalize_index,
@@ -44,6 +45,7 @@ from document_retrieval_system_spark.operators.index_build import (
     fs_exists,
     fs_touch,
     tokenize_docs,
+    _read_postings_or_empty,
 )
 from document_retrieval_system_spark.sources.corpus import PAGES_DDL
 
@@ -57,20 +59,27 @@ DOC_COLS = [
 ]
 
 
-def _manifest_rows(tok: DataFrame, status: str) -> DataFrame:
+def _manifest_rows(tok: DataFrame, status: str, kind: str = "append",
+                   blocks: DataFrame | None = None) -> DataFrame:
+    """One manifest event row per shard of ``tok`` (columns =
+    MANIFEST_COLS).  ``blocks`` adds posting/compression counters —
+    append-delta counters for kind='append', full post-event shard
+    totals for kind='snapshot' (manifest_stats relies on this)."""
+    base = tok.groupBy("shard").agg(
+        F.count("*").alias("docs_parsed"),
+        F.sum(F.when(F.col("doc_len") > 0, 1).otherwise(0)).alias("docs_indexed"),
+    )
+    if blocks is None:
+        for c in ["postings_emitted", "blocks", "doc_bytes", "tf_bytes",
+                  "dl_bytes", "pos_bytes"]:
+            base = base.withColumn(c, F.lit(None).cast("long"))
+    else:
+        base = base.join(block_counter_agg(blocks), "shard", "left")
     return (
-        tok.groupBy("shard")
-        .agg(
-            F.count("*").alias("docs_parsed"),
-            F.sum(F.when(F.col("doc_len") > 0, 1).otherwise(0)).alias("docs_indexed"),
-        )
-        .withColumn("postings_emitted", F.lit(None).cast("long"))
-        .withColumn("blocks", F.lit(None).cast("long"))
-        .withColumn("doc_bytes", F.lit(None).cast("long"))
-        .withColumn("tf_bytes", F.lit(None).cast("long"))
-        .withColumn("dl_bytes", F.lit(None).cast("long"))
-        .withColumn("pos_bytes", F.lit(None).cast("long"))
-        .withColumn("status", F.lit(status))
+        base.withColumn("status", F.lit(status))
+        .withColumn("kind", F.lit(kind))
+        .withColumn("committed_at", F.current_timestamp())
+        .select(*MANIFEST_COLS)
     )
 
 
@@ -98,12 +107,11 @@ def _append_inserts(spark: SparkSession, ins: DataFrame, batch_id: int,
     # recomputation.  On a cluster use checkpoint() with a reliable dir.
     tok = tokenize_docs(ins).localCheckpoint(eager=True)
     tok.select(*DOC_COLS).write.partitionBy("shard").mode("append").parquet(paths.docs)
-    build_postings(doc_term_rows(tok)).write.partitionBy("shard").mode(
-        "append"
-    ).parquet(paths.postings)
-    _manifest_rows(tok, f"stream-batch-{batch_id}").coalesce(1).write.mode(
-        "append"
-    ).parquet(paths.manifest)
+    blocks = build_postings(doc_term_rows(tok)).localCheckpoint(eager=True)
+    blocks.write.partitionBy("shard").mode("append").parquet(paths.postings)
+    _manifest_rows(
+        tok, f"stream-batch-{batch_id}", kind="append", blocks=blocks
+    ).coalesce(1).write.mode("append").parquet(paths.manifest)
 
 
 def _rewrite_updated_shards(spark: SparkSession, batch_aff: DataFrame,
@@ -121,12 +129,28 @@ def _rewrite_updated_shards(spark: SparkSession, batch_aff: DataFrame,
     re-analyses to update 1 doc): survivors keep their stored docs-table
     row, and their posting rows are recovered from the existing
     compressed blocks (``decoded_term_rows`` — vectorized codec + byte
-    slicing), renumbered to the new dense local_no, and re-blocked
-    together with the fresh rows' postings."""
+    slicing) and re-blocked together with the fresh rows' postings.
+
+    ``local_no`` is STABLE: survivors keep their ordinal forever and
+    fresh rows (including new versions of updated docs) allocate past
+    the shard's current max, leaving holes where versions died.  This is
+    the crash-replay correctness anchor: a docs↔postings join on
+    (shard, local_no) can never misattribute rows, because an ordinal is
+    bound to exactly one doc version for the life of the shard — after a
+    crash between the docs and postings overwrites, surviving ordinals
+    still mean the same docs, and orphaned posting ordinals (a rewritten
+    doc's old number) simply have no docs row and drop out of the inner
+    join below.  (Renumbering survivors densely — the r2 design — made
+    replay silently shift every posting row one doc over whenever the
+    crashed attempt inserted a new doc into the shard.)  The holes cost
+    only slightly larger docID deltas; gap-aligned block splitting
+    already handles sparse ranges."""
     superseded = batch_aff.select("doc_id")
     shard_filter = F.col("shard").isin([int(s) for s in affected])
     old_docs = spark.read.parquet(paths.docs).filter(shard_filter)
-    old_blocks = spark.read.parquet(paths.postings).filter(shard_filter)
+    # first-ever batch crash window: docs appended, postings never
+    # created — replay must see an empty blocks frame, not PATH_NOT_FOUND
+    old_blocks = _read_postings_or_empty(spark, paths).filter(shard_filter)
 
     # the ONLY analyzer invocation: this batch's rows (checkpointed so the
     # two consumers below don't re-run the UDF)
@@ -135,35 +159,45 @@ def _rewrite_updated_shards(spark: SparkSession, batch_aff: DataFrame,
     surv_meta = (
         old_docs.join(superseded, "doc_id", "left_anti")
         .select("doc_id", "url", "warc_ts", "lang", "title", "text", "doc_len",
-                "shard", F.col("local_no").alias("_old_local"))
+                "shard", "local_no")
     )
-    union_meta = surv_meta.drop("_old_local").unionByName(
+    # fresh rows allocate past max(local_no) over ALL old rows (superseded
+    # included) so no ordinal is ever reused by a different doc version
+    from pyspark.sql import Window
+
+    base = old_docs.groupBy("shard").agg(F.max("local_no").alias("_base"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    fresh_meta = (
         fresh_tok.select("doc_id", "url", "warc_ts", "lang", "title", "text",
                          "doc_len", "shard")
+        .join(base, "shard", "left")
+        .withColumn(
+            "local_no",
+            (F.coalesce(F.col("_base"), F.lit(-1).cast("long"))
+             + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_base")
     )
-    tok = assign_local_no(union_meta)
+    tok = surv_meta.unionByName(fresh_meta)
     # the plan reads paths.docs which is about to be overwritten — freeze
     tok = tok.localCheckpoint(eager=True)
     new_no = tok.select("doc_id", "shard", "local_no")
 
-    # fresh posting rows: fused-UDF terms joined to the new numbering
+    # fresh posting rows: fused-UDF terms joined to the fresh numbering
     fresh_rows = doc_term_rows(
         fresh_tok.select("doc_id", "doc_len", "terms", "shard")
         .join(new_no, ["doc_id", "shard"])
     )
-    # survivor posting rows: decode old blocks, drop superseded docs,
-    # renumber old local_no -> new local_no (both doc-keyed equi-joins)
-    old_map = old_docs.select(
-        "shard", F.col("local_no").alias("_old_local"), "doc_id"
-    )
+    # survivor posting rows keep their ordinals: the (shard, local_no)
+    # inner join drops orphans (ordinals no docs row claims — superseded
+    # versions after a crashed attempt), the anti-join drops this batch's
+    # superseded docs
+    old_map = old_docs.select("shard", "local_no", "doc_id")
     surv_rows = (
         decoded_term_rows(old_blocks)
-        .withColumnRenamed("local_no", "_old_local")
-        .join(old_map, ["shard", "_old_local"])
+        .join(old_map, ["shard", "local_no"])
         .join(superseded, "doc_id", "left_anti")
-        .join(new_no.withColumnRenamed("local_no", "_new_local"), ["doc_id", "shard"])
-        .select("shard", F.col("_new_local").alias("local_no"), "term", "tf",
-                "pos_bytes", "doc_len")
+        .select("shard", "local_no", "term", "tf", "pos_bytes", "doc_len")
     )
     blocks = build_postings(
         fresh_rows.unionByName(surv_rows)
@@ -193,9 +227,13 @@ def _rewrite_updated_shards(spark: SparkSession, batch_aff: DataFrame,
     got = {r["shard"] for r in blocks.select("shard").distinct().collect()}
     for s in set(int(x) for x in affected) - got:
         fs_delete(spark, os.path.join(paths.postings, f"shard={s}"))
-    _manifest_rows(tok, f"stream-update-batch-{batch_id}").coalesce(1).write.mode(
-        "append"
-    ).parquet(paths.manifest)
+    # snapshot rows: docs_parsed counts THIS batch's parses only (the
+    # lineage event — survivors were not re-parsed), posting counters are
+    # the full post-rewrite shard totals, superseding earlier history
+    _manifest_rows(
+        fresh_tok, f"stream-update-batch-{batch_id}", kind="snapshot",
+        blocks=blocks,
+    ).coalesce(1).write.mode("append").parquet(paths.manifest)
 
 
 def _intent_marker(paths: IndexPaths, batch_id: int) -> str:
@@ -293,23 +331,16 @@ def compact_shards(spark: SparkSession, paths: IndexPaths,
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # snapshot event: full post-compaction totals per shard (no docs were
+    # parsed — docs columns stay NULL and add nothing to parse lineage)
     (
-        new_blocks.groupBy("shard")
-        .agg(
-            F.sum("n").alias("postings_emitted"),
-            F.count("*").alias("blocks"),
-            F.sum(F.length("doc_bytes")).alias("doc_bytes"),
-            F.sum(F.length("tf_bytes")).alias("tf_bytes"),
-            F.sum(F.length("dl_bytes")).alias("dl_bytes"),
-            F.sum(F.length("pos_bytes")).alias("pos_bytes"),
-        )
-        .select(
-            "shard",
-            F.lit(None).cast("long").alias("docs_parsed"),
-            F.lit(None).cast("long").alias("docs_indexed"),
-            "postings_emitted", "blocks", "doc_bytes", "tf_bytes", "dl_bytes",
-            "pos_bytes", F.lit("compaction").alias("status"),
-        )
+        block_counter_agg(new_blocks)
+        .withColumn("docs_parsed", F.lit(None).cast("long"))
+        .withColumn("docs_indexed", F.lit(None).cast("long"))
+        .withColumn("status", F.lit("compaction"))
+        .withColumn("kind", F.lit("snapshot"))
+        .withColumn("committed_at", F.current_timestamp())
+        .select(*MANIFEST_COLS)
         .coalesce(1).write.mode("append").parquet(paths.manifest)
     )
 

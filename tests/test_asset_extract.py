@@ -113,3 +113,32 @@ def test_assets_from_dir_routes_all_formats(spark, tmp_path):
     assert by_kind["xlsx_chart"][0]["alt"] == "LineChart"
     assert by_kind["xlsx_chart"][0]["title"] == "L"
     assert set(by_kind) == {"html_image", "docx_image", "pdf_image", "xlsx_chart"}
+
+
+def test_pdf_image_payload_eol_bytes_round_trip():
+    """/Length bounds the stream, so payloads whose last bytes are
+    0x0A/0x0D round-trip byte-exact (an endstream+rstrip slice would
+    silently shorten them)."""
+    from document_retrieval_system_spark.sources.asset_extract import (
+        _mini_pdf_images,
+    )
+
+    blobs = [b"IMGDATA\n\n", b"\r\n", b"x\r", bytes(range(9, 14)) + b"\n"]
+    pdf = make_simple_pdf([["p"]], images=blobs)
+    got = _mini_pdf_images(pdf)
+    assert [d["data"] for d in got] == blobs
+    assert [d["n_bytes"] for d in got] == [len(b) for b in blobs]
+
+
+def test_html_image_ext_from_url_path_only(spark, tmp_path):
+    """ext derives from the URL path component: domain dots and
+    query/fragment strings must not leak into it."""
+    html = """<html><body>
+    <img src="https://cdn.example.com/image" alt="no ext">
+    <img src="https://x.com/a.png?w=200" alt="query">
+    <img src="/img/b.jpeg#frag" alt="frag">
+    <img src="/plain.gif" alt="plain">
+    </body></html>"""
+    (tmp_path / "x.html").write_text(html, encoding="utf-8")
+    rows = assets_from_dir(spark, str(tmp_path)).orderBy("asset_no").collect()
+    assert [r["ext"] for r in rows] == ["", "png", "jpeg", "gif"]

@@ -319,3 +319,170 @@ def test_compaction_merges_delta_segments(spark):
     finally:
         for p in d.values():
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_crash_replay_with_inserts_into_updated_shard(spark, monkeypatch):
+    """The r3 review's corruption repro: a batch carrying BOTH an update
+    and brand-new urls that land in the same shard, crashing between the
+    docs and postings overwrites.  Under dense renumbering the replay
+    joined old-numbered posting blocks against the already-renumbered
+    docs table, silently attaching survivor postings to whichever doc
+    now occupied the ordinal.  Stable local_no (survivors keep their
+    ordinal; fresh rows allocate past the shard max) makes the replay
+    rebuild bit-equivalent to a batch rebuild."""
+    import datetime
+
+    from document_retrieval_system_spark.operators.index_build import (
+        IndexPaths,
+        add_doc_identity,
+        fs_exists,
+    )
+    from document_retrieval_system_spark.streaming import incremental as inc
+
+    idx = tempfile.mkdtemp(prefix="drs_crashmix_index_")
+    oneshot = tempfile.mkdtemp(prefix="drs_crashmix_oneshot_")
+    try:
+        base = gen_pages_pandas(40)
+        build_index(spark, spark.createDataFrame(base, PAGES_DDL), idx,
+                    n_shards=2)
+        r = IndexReader(spark, idx)
+        targets = r.docs().select("url", "warc_ts").orderBy("url").limit(2).collect()
+        upd = [
+            (t["url"], t["warc_ts"] + datetime.timedelta(days=1), None,
+             "mixed update replaytermzz", "en")
+            for t in targets
+        ]
+        new = [
+            (f"https://new.example.org/fresh-{i}", targets[0]["warc_ts"], None,
+             f"fresh insert replaytermzz doc {i}", "en")
+            for i in range(8)
+        ]
+        batch = spark.createDataFrame(upd + new, PAGES_DDL)
+        # the repro requires >=1 brand-new url in an UPDATED shard
+        upd_shards = {
+            r2["shard"] for r2 in add_doc_identity(
+                spark.createDataFrame(upd, PAGES_DDL), 2).select("shard").collect()
+        }
+        new_shards = {
+            r2["shard"] for r2 in add_doc_identity(
+                spark.createDataFrame(new, PAGES_DDL), 2).select("shard").collect()
+        }
+        assert upd_shards & new_shards, (upd_shards, new_shards)
+        paths = IndexPaths(idx)
+
+        def boom():
+            raise RuntimeError("injected crash between docs and postings")
+
+        monkeypatch.setattr(inc, "_AFTER_DOCS_WRITE_HOOK", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            inc._append_batch(spark, batch, 3, paths, 2)
+        assert fs_exists(spark, inc._intent_marker(paths, 3))
+
+        monkeypatch.setattr(inc, "_AFTER_DOCS_WRITE_HOOK", None)
+        inc._append_batch(spark, batch, 3, paths, 2)  # replay
+        assert not fs_exists(spark, inc._intent_marker(paths, 3))
+        from document_retrieval_system_spark.operators.index_build import (
+            finalize_index,
+        )
+        finalize_index(spark, paths)
+
+        r2 = IndexReader(spark, idx)
+        assert r2.docs().count() == 48
+        assert (r2.docs().groupBy("shard", "local_no").count()
+                .filter("count > 1").count() == 0)
+        # full BM25 equivalence with a one-shot batch rebuild
+        t_urls = {t["url"] for t in targets}
+        kept = base[~base["url"].isin(t_urls)]
+        allpages = spark.createDataFrame(kept, PAGES_DDL).unionByName(
+            spark.createDataFrame(upd + new, PAGES_DDL))
+        build_index(spark, allpages, oneshot, n_shards=2)
+        ro = IndexReader(spark, oneshot)
+        for q, lang in (("数据 算法", "zh"), ("replaytermzz fresh", "en")):
+            assert _score_set(r2, q, lang) == _score_set(ro, q, lang), q
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(oneshot, ignore_errors=True)
+
+
+def test_first_batch_crash_before_postings_replays_clean(spark, monkeypatch):
+    """Very first batch of a brand-new index crashing after the docs
+    append but before any postings exist: the replay routes every row
+    (equal warc_ts + intent marker => >= guard) through the shard
+    rewrite, which must read an EMPTY postings frame — not die on
+    PATH_NOT_FOUND forever."""
+    from document_retrieval_system_spark.operators.index_build import (
+        IndexPaths,
+        finalize_index,
+        fs_exists,
+    )
+    from document_retrieval_system_spark.streaming import incremental as inc
+
+    idx = tempfile.mkdtemp(prefix="drs_first_index_")
+    oneshot = tempfile.mkdtemp(prefix="drs_first_oneshot_")
+    try:
+        pages = gen_pages_pandas(20)
+        batch = spark.createDataFrame(pages, PAGES_DDL)
+        paths = IndexPaths(idx)
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash before postings")
+
+        monkeypatch.setattr(inc, "build_postings", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            inc._append_batch(spark, batch, 0, paths, 2)
+        assert fs_exists(spark, paths.docs)
+        assert not fs_exists(spark, paths.postings)
+        assert fs_exists(spark, inc._intent_marker(paths, 0))
+
+        monkeypatch.undo()
+        inc._append_batch(spark, batch, 0, paths, 2)  # replay
+        assert not fs_exists(spark, inc._intent_marker(paths, 0))
+        finalize_index(spark, paths)
+
+        build_index(spark, batch, oneshot, n_shards=2)
+        r, ro = IndexReader(spark, idx), IndexReader(spark, oneshot)
+        assert r.docs().count() == 20
+        assert _score_set(r, "数据 算法", "zh") == _score_set(ro, "数据 算法", "zh")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(oneshot, ignore_errors=True)
+
+
+def test_manifest_stats_survive_compaction_and_replay(spark, monkeypatch):
+    """index_statistics must not double-count after events that re-record
+    shard totals: a compaction snapshot row and a replayed (re-appended)
+    stream batch both coexist with earlier rows in the append-only
+    manifest log."""
+    from document_retrieval_system_spark.operators.index_build import IndexPaths
+    from document_retrieval_system_spark.sources.tables import index_statistics
+    from document_retrieval_system_spark.streaming import incremental as inc
+    from document_retrieval_system_spark.streaming.incremental import (
+        compact_shards,
+    )
+
+    idx = tempfile.mkdtemp(prefix="drs_mstats_index_")
+    try:
+        build_index(spark, spark.createDataFrame(gen_pages_pandas(30), PAGES_DDL),
+                    idx, n_shards=2)
+        paths = IndexPaths(idx)
+        # one insert batch, then the SAME batch replayed after a fake
+        # crash (marker present) -> duplicate stream-batch manifest rows
+        batch = spark.createDataFrame(gen_pages_pandas(10, start=30), PAGES_DDL)
+        inc._append_batch(spark, batch, 0, paths, 2)
+        inc.fs_touch(spark, inc._intent_marker(paths, 0))
+        inc._append_batch(spark, batch, 0, paths, 2)  # replay
+        compact_shards(spark, paths)
+        from document_retrieval_system_spark.operators.index_build import (
+            IndexReader,
+            finalize_index,
+        )
+        finalize_index(spark, paths)
+
+        r = IndexReader(spark, idx)
+        stats = index_statistics(r)
+        truth = r.postings().agg(F.sum("n").alias("n")).collect()[0]["n"]
+        assert stats["postings"] == truth, (stats["postings"], truth)
+        assert stats["docs_parsed"] == 40, stats["docs_parsed"]
+        assert stats["total_docs"] == 40
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
