@@ -14,10 +14,15 @@ the extractor algorithm needs, with matching semantics:
 - ``decompose()``: detach the subtree from the document.
 
 Parsing details: void elements never take children; content of
-``<script>``/``<style>`` is raw text (html.parser CDATA mode); mismatched
-end tags pop to the nearest open tag of that name and are otherwise
-ignored.  The synthetic corpus is well-formed, so html5lib's error
-recovery quirks are out of scope (documented divergence).
+``<script>``/``<style>`` is raw text (html.parser CDATA mode); HTML5
+tree-construction error recovery is implemented for the classes web
+text actually hits — implied end tags (p/li/dt/dd/tr/td/th/headings/
+option), scope barriers, and the full active-formatting machinery
+(markers, Noah's Ark, reconstruction, the 8-iteration adoption agency
+algorithm) so misnested formatting tags produce html5lib-identical
+trees.  Remaining documented divergences (no html/head/body/tbody
+synthesis, stray table parts kept) are listed with proofs of extractor
+neutrality in tests/test_tree_construction.py.
 """
 
 from __future__ import annotations
@@ -183,12 +188,47 @@ _EMPTY = frozenset()
 # fast no-op guard for the per-start-tag hot path
 _NEEDS_CLOSE = _P_CLOSERS | frozenset(_ITEM_RULES) | frozenset(["option"])
 
+# the spec's formatting category: these participate in the list of
+# active formatting elements + the adoption agency algorithm
+_FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+# start tags that insert a marker into the active formatting list (their
+# end tags clear back to it) — formatting never reconstructs across these
+_AFE_MARKER_TAGS = frozenset(
+    "applet object marquee template caption td th".split()
+)
+# "in body" start-tag rules that do NOT reconstruct active formatting
+# before inserting (block starters, list items, table machinery, raw-text
+# heads); everything else — formatting tags, spans, buttons, images,
+# "any other start tag" — reconstructs first, per spec
+_NO_RECONSTRUCT = (
+    _P_CLOSERS
+    | frozenset(_ITEM_RULES)
+    | frozenset(
+        "hr html head body frame frameset form caption colgroup col "
+        "tbody thead tfoot script style title textarea".split()
+    )
+)
+_TABLE_FOSTER = frozenset(["table", "tbody", "tfoot", "thead", "tr"])
+
+
+def _detach(node) -> None:
+    if node.parent is not None:
+        try:
+            node.parent.children.remove(node)
+        except ValueError:
+            pass
+    node.parent = None
+
 
 class _TreeBuilder(_StdHTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Element("[document]")
         self.stack: list[Element] = [self.root]
+        # list of active formatting elements; None entries are markers
+        self.afe: list[Element | None] = []
 
     def _scan_close(self, targets: frozenset, stops: frozenset,
                     close_row: bool = False) -> None:
@@ -207,10 +247,157 @@ class _TreeBuilder(_StdHTMLParser):
                             break
                         if n2 in _SCOPE_BARRIERS or n2 in stops:
                             break
+                if any(el.name in _AFE_MARKER_TAGS for el in self.stack[cut:]):
+                    # an implied cell/caption close clears formatting
+                    # back to the marker that cell inserted
+                    self._clear_afe_to_marker()
                 del self.stack[cut:]
                 return
             if name in _SCOPE_BARRIERS or name in stops:
                 return
+
+    # -- active formatting elements (spec 13.2.4.3) -------------------------
+    def _on_stack(self, el: Element) -> bool:
+        return any(el is s for s in self.stack)
+
+    def _clear_afe_to_marker(self) -> None:
+        afe = self.afe
+        while afe:
+            e = afe.pop()
+            if e is None:
+                return
+
+    def _afe_push(self, el: Element) -> None:
+        # Noah's Ark clause: at most 3 entries with identical tag+attrs
+        # since the last marker (bounds reconstruction on pathological
+        # pages with thousands of unclosed <b>)
+        same = []
+        for e in reversed(self.afe):
+            if e is None:
+                break
+            if e.name == el.name and e.attrs == el.attrs:
+                same.append(e)
+        if len(same) >= 3:
+            self.afe.remove(same[-1])  # the earliest matching entry
+        self.afe.append(el)
+
+    def _afe_take(self, name: str) -> Element | None:
+        """Last AFE entry with this tag name since the last marker."""
+        for e in reversed(self.afe):
+            if e is None:
+                return None
+            if e.name == name:
+                return e
+        return None
+
+    def _reconstruct(self) -> None:
+        """Re-open formatting elements that were implicitly closed (spec
+        'reconstruct the active formatting elements'): clones of every
+        trailing AFE entry not on the stack nest into the current node."""
+        afe = self.afe
+        if not afe:
+            return
+        last = afe[-1]
+        if last is None or self._on_stack(last):
+            return
+        idx = len(afe) - 1
+        while idx > 0 and afe[idx - 1] is not None and not self._on_stack(afe[idx - 1]):
+            idx -= 1
+        for k in range(idx, len(afe)):
+            entry = afe[k]
+            clone = Element(entry.name, dict(entry.attrs))
+            self.stack[-1].append(clone)
+            self.stack.append(clone)
+            afe[k] = clone
+
+    def _adoption_agency(self, subject: str) -> None:
+        """The adoption agency algorithm (spec 13.2.6.4.7 'in body', end
+        tag for a formatting element), identity-based.  Handles misnested
+        formatting (<b>a<p>x</b>c) the way html5lib does: the formatting
+        element is split around the intervening block, so text order AND
+        per-block bucketing match the reference parser."""
+        stack, afe = self.stack, self.afe
+        cur = stack[-1]
+        if cur.name == subject and not any(cur is e for e in afe):
+            stack.pop()
+            return
+        for _ in range(8):
+            fmt = self._afe_take(subject)
+            if fmt is None:
+                # "any other end tag": pop to the nearest open match
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].name == subject:
+                        del stack[i:]
+                        return
+                return
+            if not self._on_stack(fmt):
+                afe.remove(fmt)
+                return
+            si = stack.index(fmt)
+            fb = None  # furthest block: first special element below fmt
+            fbi = -1
+            for i in range(si + 1, len(stack)):
+                if stack[i].name in _SPECIAL:
+                    fb, fbi = stack[i], i
+                    break
+            if fb is None:
+                del stack[si:]
+                afe.remove(fmt)
+                return
+            common = stack[si - 1]
+            bookmark = afe.index(fmt)
+            node_i = fbi
+            last_node = fb
+            inner = 0
+            while True:
+                inner += 1
+                node_i -= 1
+                node = stack[node_i]
+                if node is fmt:
+                    break
+                in_afe = any(node is e for e in afe)
+                if inner > 3 and in_afe:
+                    afe.remove(node)
+                    in_afe = False
+                if not in_afe:
+                    del stack[node_i]
+                    continue
+                clone = Element(node.name, dict(node.attrs))
+                afe[afe.index(node)] = clone
+                stack[node_i] = clone
+                node = clone
+                if last_node is fb:
+                    bookmark = afe.index(node) + 1
+                _detach(last_node)
+                node.append(last_node)
+                last_node = node
+            _detach(last_node)
+            table = None
+            if common.name in _TABLE_FOSTER:
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i].name == "table":
+                        table = stack[i]
+                        break
+            if table is not None and table.parent is not None:
+                # foster parenting: insert immediately before the table
+                tgt = table.parent
+                last_node.parent = tgt
+                tgt.children.insert(tgt.children.index(table), last_node)
+            else:
+                common.append(last_node)
+            clone = Element(fmt.name, dict(fmt.attrs))
+            for ch in fb.children:
+                ch.parent = clone
+            clone.children = fb.children
+            fb.children = []
+            fb.append(clone)
+            bi = afe.index(fmt)
+            afe.remove(fmt)
+            if bookmark > bi:
+                bookmark -= 1
+            afe.insert(bookmark, clone)
+            stack.remove(fmt)
+            stack.insert(stack.index(fb) + 1, clone)
 
     def _implied_close(self, tag: str) -> None:
         if tag not in _NEEDS_CLOSE:
@@ -235,6 +422,17 @@ class _TreeBuilder(_StdHTMLParser):
 
     def handle_starttag(self, tag, attrs):
         self._implied_close(tag)
+        if tag == "a" and self._afe_take("a") is not None:
+            # spec: an <a> with an open <a> in the formatting list acts
+            # as if </a> was seen, then drops any leftover entry
+            self._adoption_agency("a")
+            left = self._afe_take("a")
+            if left is not None:
+                self.afe.remove(left)
+                if self._on_stack(left):
+                    self.stack.remove(left)
+        if tag in _FORMATTING or tag not in _NO_RECONSTRUCT:
+            self._reconstruct()
         attr_dict: dict[str, str] = {}
         for k, v in attrs:
             if k not in attr_dict:  # first occurrence wins (bs4 behavior)
@@ -243,6 +441,10 @@ class _TreeBuilder(_StdHTMLParser):
         self.stack[-1].append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
+            if tag in _FORMATTING:
+                self._afe_push(el)
+            elif tag in _AFE_MARKER_TAGS:
+                self.afe.append(None)
 
     def handle_startendtag(self, tag, attrs):
         attr_dict: dict[str, str] = {}
@@ -254,14 +456,23 @@ class _TreeBuilder(_StdHTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:
             return
+        if tag in _FORMATTING:
+            self._adoption_agency(tag)
+            return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].name == tag:
                 del self.stack[i:]
+                if tag in _AFE_MARKER_TAGS:
+                    self._clear_afe_to_marker()
                 return
         # unmatched end tag: ignore
 
     def handle_data(self, data):
         if data:
+            # raw/RCDATA content never reconstructs formatting
+            if self.stack[-1].name not in ("script", "style", "title",
+                                           "textarea"):
+                self._reconstruct()
             self.stack[-1].append(TextNode(data, self.stack[-1]))
 
 

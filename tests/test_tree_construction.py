@@ -10,7 +10,7 @@ implied end tags (p, li/dt/dd, tr/td/th, headings, option), scope
 barriers (button, td/th, caption), raw-text elements, stray end tags,
 and deep table-row recovery.
 
-Expected trees are html5lib's output NORMALIZED by the four documented
+Expected trees are html5lib's output NORMALIZED by the three documented
 divergences below.  Anything else that differs is a bug.
 
 DOCUMENTED DIVERGENCES (minidom vs html5lib), each with the reason it
@@ -28,14 +28,13 @@ cannot change extractor output (sources/html_extract.py):
    ignores the tags).  get_text is identical; the noise filter targets
    class/id attributes, which these synthetic strays don't carry, and
    the main-content candidates do not include td/tr.
-4. No adoption agency / active-formatting reconstruction for misnested
-   FORMATTING tags (<b>a<p>x</b>c: html5lib reconstructs <b> into the
-   open <p> and keeps "c" inside it; minidom pops to the nearest <b>,
-   dropping "c" to the parent).  Text ORDER is preserved, but text can
-   shift between per-<p> buckets, so by-paragraph extraction around
-   misnested formatting tags may split differently — a real, rare
-   divergence we accept rather than implement the agency algorithm;
-   the S4 goldens pin the extractor's behavior on well-formed pages.
+(Formerly-documented divergence 4 — no adoption agency — is CLOSED as
+of r3: minidom implements the list of active formatting elements
+(markers, Noah's Ark clause, reconstruction on text/start tags) and the
+full 8-iteration adoption agency algorithm, so misnested formatting
+(<b>a<p>x</b>c, <b><i>a</b>b</i>, nested-div splits, the <a>-in-<a>
+rule) produces html5lib-identical trees; the agency cases at the end of
+tree_construction.dat pin it.)
 """
 
 from __future__ import annotations
