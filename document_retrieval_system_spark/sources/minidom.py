@@ -222,6 +222,15 @@ def _detach(node) -> None:
     node.parent = None
 
 
+def _contains(ancestor, node) -> bool:
+    """True when ``node`` is ``ancestor`` or sits in its subtree."""
+    while node is not None:
+        if node is ancestor:
+            return True
+        node = node.parent
+    return False
+
+
 class _TreeBuilder(_StdHTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -378,13 +387,19 @@ class _TreeBuilder(_StdHTMLParser):
                     if stack[i].name == "table":
                         table = stack[i]
                         break
-            if table is not None and table.parent is not None:
+            if (table is not None and table.parent is not None
+                    and not _contains(last_node, table.parent)):
                 # foster parenting: insert immediately before the table
                 tgt = table.parent
                 last_node.parent = tgt
                 tgt.children.insert(tgt.children.index(table), last_node)
-            else:
+            elif not _contains(last_node, common):
                 common.append(last_node)
+            else:
+                # tag soup put every candidate parent inside last_node's
+                # own subtree (spec states can't, ours can) — the root is
+                # always cycle-free; never orphan text
+                self.root.append(last_node)
             clone = Element(fmt.name, dict(fmt.attrs))
             for ch in fb.children:
                 ch.parent = clone
