@@ -43,6 +43,15 @@ _EN_PUNCT_RE = re.compile(f"[{re.escape(string.punctuation)}]")
 _ZH_NOISE_RE = re.compile(r"[^\w\s一-鿿]+")
 _DIGITS_RE = re.compile(r"\d+")
 _WS_RE = re.compile(r"\s+")
+# fused single-pass equivalents of (punct|noise)-sub + digits-sub: the
+# character classes are disjoint (punctuation/noise exclude \d, which is
+# \w) and both replace with ' ', so one alternation pass is equivalent
+# to the reference's two sequential passes — same output, one string
+# traversal fewer per document
+_EN_PUNCT_DIGITS_RE = re.compile(
+    f"[{re.escape(string.punctuation)}]|\\d+"
+)
+_ZH_NOISE_DIGITS_RE = re.compile(r"[^\w\s一-鿿]+|\d+")
 
 
 def norm_lang(lang: str | None) -> str:
@@ -55,12 +64,10 @@ def clean_text(text: str, lang: str = "chinese") -> str:
         return ""
     text = text.lower()
     if lang == "english":
-        text = _EN_PUNCT_RE.sub(" ", text)
-        text = _DIGITS_RE.sub(" ", text)
+        text = _EN_PUNCT_DIGITS_RE.sub(" ", text)
         text = _WS_RE.sub(" ", text)
     elif lang == "chinese":
-        text = _ZH_NOISE_RE.sub(" ", text)
-        text = _DIGITS_RE.sub(" ", text)
+        text = _ZH_NOISE_DIGITS_RE.sub(" ", text)
         text = _WS_RE.sub(" ", text)
     return text.strip()
 

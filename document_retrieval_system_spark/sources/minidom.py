@@ -130,7 +130,25 @@ class Element:
         return True
 
     def find_all(self, names=None, attrs=None, limit=None) -> list["Element"]:
+        if isinstance(names, (list, tuple, set)):
+            names = frozenset(names)
         out: list[Element] = []
+        if not attrs and names is not None and names is not True:
+            # hot path for the extractor's name-only scans: skip the
+            # per-element _matches call
+            if isinstance(names, str):
+                for el in self._iter_elements():
+                    if el.name == names:
+                        out.append(el)
+                        if limit is not None and len(out) >= limit:
+                            break
+            else:
+                for el in self._iter_elements():
+                    if el.name in names:
+                        out.append(el)
+                        if limit is not None and len(out) >= limit:
+                            break
+            return out
         for el in self._iter_elements():
             if el._matches(names, attrs):
                 out.append(el)
