@@ -101,25 +101,27 @@ def read_pages_from_files(
     )
 
 
-def delete_documents(spark: SparkSession, index_dir: str, urls: list[str],
-                     n_shards: int | None = None, analyzer=None) -> None:
+def delete_documents(spark: SparkSession, index_dir: str,
+                     urls: list[str]) -> None:
     """I5 (indexer.py:95-143): remove documents and repair the index.
 
     The reference walks every posting list in RAM; distributed, deletion
     is a *partition rewrite of only the affected shards*: drop the doc
-    rows, rebuild those shards' postings from the retained docs' stored
-    text (anti-join semantics), then re-run the global-stat finalize —
-    exactly the Iceberg DELETE + affected-partition rewrite mapping from
-    SURVEY.md §2.3.
+    rows, rebuild those shards' postings from the survivors' existing
+    compressed blocks (decode → re-block, analyzer-free), then re-run
+    the global-stat finalize — exactly the Iceberg DELETE +
+    affected-partition rewrite mapping from SURVEY.md §2.3.
     """
     import hashlib
+    import os
 
-    from document_retrieval_system_spark.operators.analyze import doc_term_rows
     from document_retrieval_system_spark.operators.index_build import (
         IndexPaths,
         build_postings,
+        decoded_term_rows,
         finalize_index,
-        tokenize_docs,
+        fs_delete,
+        _read_postings_or_empty,
     )
 
     paths = IndexPaths(index_dir)
@@ -133,34 +135,52 @@ def delete_documents(spark: SparkSession, index_dir: str, urls: list[str],
     if not affected:
         return
 
-    # retained docs of the affected shards, re-analyzed from stored text
+    # retained docs keep their rows AND their stable local_no verbatim —
+    # deletion is pure codec work: survivor posting rows are decoded from
+    # the existing compressed blocks and re-blocked, the analyzer never
+    # runs (the r2 path re-tokenized every retained doc of an affected
+    # shard — shard-sized Python cost to delete one url)
+    shard_filter = F.col("shard").isin([int(s) for s in affected])
     keep = docs.filter(
-        F.col("shard").isin(affected) & ~F.col("doc_id").isin(doc_ids)
+        shard_filter & ~F.col("doc_id").isin(doc_ids)
+    ).localCheckpoint(eager=True)
+    old_blocks = _read_postings_or_empty(spark, paths).filter(shard_filter)
+    old_map = docs.filter(shard_filter).select("shard", "local_no", "doc_id")
+    rows = (
+        decoded_term_rows(old_blocks)
+        .join(old_map, ["shard", "local_no"])
+        .filter(~F.col("doc_id").isin(doc_ids))
+        .select("shard", "local_no", "term", "tf", "pos_bytes", "doc_len")
     )
-    pages_like = keep.select(
-        "url", "warc_ts",
-        F.lit(None).cast("binary").alias("html"),
-        "text", "lang", "doc_id", "shard", "local_no",
-    )
-    tok = tokenize_docs(pages_like, analyzer=analyzer).localCheckpoint(eager=True)
+    blocks = build_postings(rows).localCheckpoint(eager=True)
 
     # overwrite only the affected shard partitions (dynamic overwrite)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        tok.select(
+        keep.select(
             "shard", "local_no", "doc_id", "url", "warc_ts", "lang",
             "title", "text", "doc_len",
         ).repartition(len(affected), "shard").write.partitionBy("shard").mode(
             "overwrite"
         ).parquet(paths.docs)
-        build_postings(doc_term_rows(tok)).repartition(
+        blocks.repartition(
             len(affected), "shard"
         ).sortWithinPartitions("term", "block_no").write.partitionBy("shard").mode(
             "overwrite"
         ).parquet(paths.postings)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # frame: a shard emptied by the delete (or left with no postings)
+    # would otherwise keep its stale partition — the deleted docs would
+    # silently survive
+    kept_shards = {r["shard"] for r in keep.select("shard").distinct().collect()}
+    blk_shards = {r["shard"] for r in blocks.select("shard").distinct().collect()}
+    for s in set(int(x) for x in affected) - kept_shards:
+        fs_delete(spark, os.path.join(paths.docs, f"shard={s}"))
+    for s in set(int(x) for x in affected) - blk_shards:
+        fs_delete(spark, os.path.join(paths.postings, f"shard={s}"))
     finalize_index(spark, paths)
 
 

@@ -168,3 +168,39 @@ def test_sort_results_by_time_r7(reader):
     by_time = sort_results_by_time(res, reader.docs()).collect()
     times = [r["warc_ts"] for r in by_time]
     assert times == sorted(times, reverse=True)
+
+
+def test_delete_documents_empties_whole_shard(spark):
+    """Deleting EVERY doc of a shard must remove its docs/postings
+    partitions: dynamic partition overwrite only replaces partitions
+    present in the written frame, so an emptied shard's stale partition
+    needs an explicit delete or the docs silently survive."""
+    from document_retrieval_system_spark.operators.index_build import (
+        IndexReader,
+        add_doc_identity,
+        build_index,
+    )
+    from document_retrieval_system_spark.sources.corpus import PAGES_DDL, gen_pages_pandas
+    from document_retrieval_system_spark.sources.tables import delete_documents
+
+    idx = tempfile.mkdtemp(prefix="drs_delshard_idx_")
+    try:
+        pdf = gen_pages_pandas(40)
+        build_index(spark, spark.createDataFrame(pdf, PAGES_DDL), idx, n_shards=2)
+        by_shard = {
+            r["url"]: r["shard"]
+            for r in add_doc_identity(
+                spark.createDataFrame(pdf, PAGES_DDL), 2
+            ).select("url", "shard").collect()
+        }
+        victims = [u for u, s in by_shard.items() if s == 0]
+        assert victims and len(victims) < len(pdf)
+        delete_documents(spark, idx, victims)
+        reader = IndexReader(spark, idx)
+        remaining = {r["url"] for r in reader.docs().select("url").collect()}
+        assert not (set(victims) & remaining), "deleted docs survived"
+        assert reader.docs().filter("shard = 0").count() == 0
+        assert reader.postings().filter("shard = 0").count() == 0
+        assert reader.docs().count() == len(pdf) - len(victims)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
