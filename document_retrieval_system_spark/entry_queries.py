@@ -744,6 +744,82 @@ def _emb_augmented(emb: DataFrame) -> DataFrame:
     return base.unionByName(pert)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS: the LSH-fed 3-gram Jaccard pairs (J >= 0.6)
+    collapsed into connected components — cluster_id = min doc_id
+    reachable; a curation pipeline keeps one doc per cluster.  Spark
+    side is iterative min-label propagation; the oracle is a recursive
+    transitive-closure CTE — both converge to the same fixpoint."""
+    from document_retrieval_system_spark.operators.curate import (
+        duplicate_clusters,
+    )
+
+    return duplicate_clusters(
+        _docs(spark, sf_dir), ngram=3, threshold=0.6,
+        n_hashes=16, band_size=2, bucket_cap=BUCKET_CAP,
+    )
+
+
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE " + _sql_minhash_cand(3, 16, 2, BUCKET_CAP) + """,
+gs AS (SELECT doc_id, grams FROM grams WHERE len(grams) > 0),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.grams, b.grams)) AS common,
+         len(a.grams) AS n_a, len(b.grams) AS n_b
+  FROM cand c JOIN gs a ON c.id_a = a.doc_id JOIN gs b ON c.id_b = b.doc_id
+),
+jpairs AS (
+  SELECT id_a, id_b FROM ver
+  WHERE round(common * 1.0 / (n_a + n_b - common), 6) >= 0.6
+),
+cedges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION
+  SELECT id_b, id_a FROM jpairs
+),
+reach AS (
+  SELECT a AS id, b AS r FROM cedges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN cedges e ON reach.r = e.a
+)
+SELECT id AS doc_id, least(min(r), id)::BIGINT AS cluster_id
+FROM reach GROUP BY id"""
+)
+
+
+# per-language sampling rates chosen so rate * 2^24 is exactly integral
+# (no float-rounding divergence between engines) and every lang at
+# sf0.01 keeps a non-empty, non-total subset
+SAMPLE_RATES = {"en": 0.25, "zh": 0.5, "de": 0.5, "fr": 0.75, "es": 0.75}
+SAMPLE_SALT = "drs"
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic stratified sampling: keep a doc iff the first 6 hex
+    digits of md5(doc_id || salt) fall under its language's rate — a
+    map-only, shuffle-free, reproducible mixture draw."""
+    from document_retrieval_system_spark.operators.curate import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES, salt=SAMPLE_SALT
+    ).select("doc_id", "lang", F.col("sample_key").cast("long").alias("sample_key"))
+
+
+SQL_CORPUS_SAMPLE = f"""
+SELECT doc_id, lang, sample_key FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || '{SAMPLE_SALT}'), 1, 6))::BIGINT
+           AS sample_key,
+         CASE {' '.join(f"WHEN lang = '{lg}' THEN {r}" for lg, r in sorted(SAMPLE_RATES.items()))}
+              ELSE 0.0 END AS rate
+  FROM documents
+)
+WHERE sample_key < CAST(floor(rate * 16777216) AS BIGINT)"""
+
+
 def q_emb_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine >= 0.9), LSH-banded:
     64-bit hyperplane signature -> 8 bands of 8 -> banded candidates
@@ -1027,6 +1103,44 @@ SELECT doc_id,
                        t -> length(t) > 0)) AS n_ws_tokens,
        len(regexp_extract_all(lower(coalesce(text,'')), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
 FROM documents"""
+
+
+TOKEN_BUDGET = 2_000
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """Quality-ranked token budgeting: per language, keep the greedy
+    prefix of (quality desc, doc_id)-ordered docs whose cumulative
+    whitespace-token count starts under the budget."""
+    from document_retrieval_system_spark.operators.curate import (
+        token_budget_select,
+    )
+
+    out = token_budget_select(_docs(spark, sf_dir), TOKEN_BUDGET)
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+SQL_CORPUS_TOKEN_BUDGET = f"""
+SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+  SELECT d.doc_id, d.lang, t.n_tokens,
+         CAST(sum(t.n_tokens) OVER (
+           PARTITION BY d.lang
+           ORDER BY q.quality DESC, d.doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM documents d
+  JOIN ({SQL_TA_QUALITY}) q ON q.doc_id = d.doc_id
+  JOIN (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(coalesce(text,''), '\\s+'),
+                                x -> length(x) > 0)) AS BIGINT) AS n_tokens
+    FROM documents
+  ) t ON t.doc_id = d.doc_id
+)
+WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}"""
 
 
 def q_t7_keywords(spark, sf_dir):
@@ -1474,6 +1588,9 @@ QUERIES = {
     "dedup_ngram_jaccard3": (q_dedup_jaccard3, SQL_DEDUP_JACCARD3),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
+    "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),
     "ta_langid": (q_ta_langid, SQL_TA_LANGID),

@@ -1,0 +1,143 @@
+"""Training-data curation operators: duplicate clustering, deterministic
+stratified sampling, and token-budget selection.
+
+These compose the dedup / text-analysis primitives into the decisions an
+LLM-data pipeline actually ships: which duplicate group a document
+belongs to (keep one per cluster), which documents enter a mixture at
+what per-language rate, and which quality-ranked prefix of a corpus fits
+a token budget.  All three are pure DataFrame plans — no Python in the
+hot path — and each is mirrored by a DuckDB oracle in entry_queries.
+
+Scale notes:
+- ``connected_components`` is iterative min-label propagation over the
+  near-dup pair list.  Near-dup graphs are almost all tiny star/clique
+  components, so the loop converges in a handful of rounds; each round
+  is one shuffle on the edge key, and labels are localCheckpoint'd so
+  the plan does not grow with iterations.  This is the standard
+  large-graph CC recipe (GraphX/GraphFrames use the same shape).
+- ``stratified_sample`` is a map-only filter: the sampling decision is
+  a pure function of (doc_id, salt) via md5, so it is reproducible
+  across runs, engines, and cluster sizes, and needs no global count —
+  at 100 TB there is no shuffle at all.
+- ``token_budget_select`` sorts each language by (quality desc, doc_id)
+  and keeps documents whose cumulative token count starts under the
+  budget — one window aggregation per language partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, src_col: str = "id_a",
+                         dst_col: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node in ``pairs``; the component id is
+    the minimum node id reachable through the pair edges (self
+    included).  Deterministic for any edge order."""
+    fwd = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    rev = pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # bound plan growth per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", ngram: int = 3,
+                       threshold: float = 0.6, n_hashes: int = 16,
+                       band_size: int = 2, bucket_cap: int = 64) -> DataFrame:
+    """Near-duplicate clusters: LSH-fed exact-Jaccard pairs → connected
+    components.  A pipeline keeps ``doc_id == cluster_id`` (the minimum
+    member) and drops the rest."""
+    from document_retrieval_system_spark.operators.dedup import lsh_jaccard_pairs
+
+    pairs = lsh_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, ngram=ngram,
+        threshold=threshold, n_hashes=n_hashes, band_size=band_size,
+        bucket_cap=bucket_cap,
+    )
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      default_rate: float = 0.0, salt: str = "drs",
+                      id_col: str = "doc_id",
+                      lang_col: str = "lang") -> DataFrame:
+    """Deterministic per-language sampling: keep a document iff the
+    first 6 hex digits of md5(doc_id || salt) fall under the language's
+    rate.  Reproducible across runs/engines; resampling with a new salt
+    draws an independent sample."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                    1, 6), 16, 10
+    ).cast("long")
+    rate = F.lit(default_rate)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col(lang_col) == lang, F.lit(r)).otherwise(rate)
+    thresh = (rate * (1 << 24)).cast("long")
+    return (
+        df.withColumn("_bucket", bucket)
+        .filter(F.col("_bucket") < thresh)
+        .select(F.col(id_col), F.col(lang_col), F.col("_bucket").alias("sample_key"))
+    )
+
+
+def token_budget_select(df: DataFrame, budget_per_lang: int,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        lang_col: str = "lang") -> DataFrame:
+    """Quality-ranked token budgeting: per language, order documents by
+    (quality score desc, doc_id) and keep each document whose cumulative
+    whitespace-token count BEFORE adding it is under the budget (so the
+    budget may be exceeded once, by the straddling document — the usual
+    greedy mixture fill)."""
+    from document_retrieval_system_spark.operators.textstats import quality_score
+
+    q = quality_score(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("quality")
+    )
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_tok = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    base = df.select(F.col(id_col), F.col(lang_col), n_tok.alias("n_tokens")).join(
+        q, id_col
+    )
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("quality").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("cum_tokens", cum)
+        .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.lit(budget_per_lang))
+        .select(id_col, lang_col, "n_tokens", "cum_tokens")
+    )

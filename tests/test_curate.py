@@ -1,0 +1,78 @@
+"""Training-data curation operators: duplicate clustering (connected
+components), deterministic stratified sampling, token-budget selection."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from document_retrieval_system_spark.operators.curate import (
+    connected_components,
+    stratified_sample,
+    token_budget_select,
+)
+
+
+def _brute_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    nodes = sorted({n for e in edges for n in e})
+    label = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    return label
+
+
+def test_connected_components_matches_bruteforce(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (4, 5), (5, 6), (6, 1),  # chain into 1-3
+             (20, 21), (21, 22), (22, 20),                        # triangle
+             (30, 31)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(df).collect()}
+    assert got == _brute_components(edges)
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph needs label propagation over the full diameter."""
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(df).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    rows = [(i, "en" if i % 2 else "zh") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.25, "zh": 0.5}
+    a = {r["doc_id"] for r in stratified_sample(df, rates).collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, rates).collect()}
+    assert a == b, "sampling must be deterministic"
+    en = [i for i in a if i % 2]
+    zh = [i for i in a if not i % 2]
+    assert abs(len(en) / 2000 - 0.25) < 0.05
+    assert abs(len(zh) / 2000 - 0.5) < 0.05
+    # a different salt draws a (near-)independent sample
+    c = {r["doc_id"] for r in stratified_sample(df, rates, salt="x").collect()}
+    assert c != a
+
+
+def test_token_budget_select_invariants(spark):
+    rows = [(i, "en", " ".join(["w"] * (10 + i % 7))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    budget = 200
+    out = token_budget_select(df, budget).orderBy("cum_tokens").collect()
+    assert out, "budget must keep at least one doc"
+    # every kept doc STARTS under the budget; at most one doc straddles
+    assert all(r["cum_tokens"] - r["n_tokens"] < budget for r in out)
+    over = [r for r in out if r["cum_tokens"] > budget]
+    assert len(over) <= 1
+    # cumulative sums are consistent
+    for prev, cur in itertools.pairwise(out):
+        assert cur["cum_tokens"] == prev["cum_tokens"] + cur["n_tokens"]
