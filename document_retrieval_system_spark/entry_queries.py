@@ -1105,6 +1105,49 @@ SELECT doc_id,
 FROM documents"""
 
 
+# the synthetic corpus has no contact surfaces, so the entry plants
+# deterministic ones (same expression both engines) on every 7th doc —
+# the patterns are then exercised on non-trivial text, not a 0==0 match
+def _pii_planted_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    plant = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or http://example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" call +1 (555) 010-"), F.col("doc_id").cast("string"),
+        F.lit(" at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+    )
+    return d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, plant).otherwise(F.col("text")),
+    )
+
+
+def q_ta_pii(spark, sf_dir):
+    """PII/contact-surface pattern counts (emails, urls, phone-shaped
+    runs, IPv4-shaped quads) — the scrub-signal pass of a webtext
+    pipeline; patterns are lookahead-free so Java regex and RE2 agree."""
+    return textstats.pii_counts(_pii_planted_docs(spark, sf_dir))
+
+
+SQL_TA_PII = """WITH pii_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           coalesce(text,'') || ' contact user' || doc_id::VARCHAR
+           || '@example.com or http://example.org/p/' || doc_id::VARCHAR
+           || ' call +1 (555) 010-' || doc_id::VARCHAR
+           || ' at 10.0.0.' || (doc_id % 256)::VARCHAR
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, """ + ", ".join(
+    f"CAST(len(regexp_extract_all(lower(coalesce(text,'')), '{pat}')) AS BIGINT)"
+    f" AS {name}"
+    for name, pat in textstats.PII_PATTERNS.items()
+) + " FROM pii_docs"
+
+
 TOKEN_BUDGET = 2_000
 
 
@@ -1596,6 +1639,7 @@ QUERIES = {
     "ta_langid": (q_ta_langid, SQL_TA_LANGID),
     "ta_quality": (q_ta_quality, SQL_TA_QUALITY),
     "ta_tokencount": (q_ta_tokencount, SQL_TA_TOKENCOUNT),
+    "ta_pii": (q_ta_pii, SQL_TA_PII),
     "ta_fingerprint": (q_ta_fingerprint, SQL_TA_FINGERPRINT),
     "t7_keywords": (q_t7_keywords, SQL_T7),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),

@@ -129,6 +129,30 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+# contact/PII-ish surface patterns — deliberately lookahead-free so the
+# same pattern string is valid Java regex (Spark) and RE2 (DuckDB)
+PII_PATTERNS = {
+    "n_emails": r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z][a-z]+",
+    "n_urls": r"https?://[^\s<>\"]+",
+    "n_phones": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "n_ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Contact-surface / PII-ish pattern counts per document (emails,
+    urls, phone-shaped runs, IPv4-shaped dotted quads) — the scrubbing /
+    quality-filter signal of a webtext pipeline.  Pure JVM regex counts,
+    map-only."""
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    cols = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long").alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 k: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min over char-k-gram md5 hashes

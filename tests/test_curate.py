@@ -76,3 +76,24 @@ def test_token_budget_select_invariants(spark):
     # cumulative sums are consistent
     for prev, cur in itertools.pairwise(out):
         assert cur["cum_tokens"] == prev["cum_tokens"] + cur["n_tokens"]
+
+
+def test_pii_counts_patterns(spark):
+    from document_retrieval_system_spark.operators.textstats import pii_counts
+
+    rows = [
+        (1, "mail a.b-c_d@foo-bar.co and X@Y.ORG plus http://a.b/c?x=1 "
+            "and https://secure.example.com/path#f"),
+        (2, "call +1 (555) 123-4567 or 555 010 9999 done"),
+        (3, "server at 10.0.0.1 and 192.168.001.255:8080"),
+        (4, "no contact surfaces here at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_emails"], r["n_urls"], r["n_phones"], r["n_ipv4"])
+           for r in pii_counts(df).collect()}
+    assert got[1] == (2, 2, 0, 0)
+    assert got[2] == (0, 0, 2, 0)
+    assert got[3][3] == 2
+    assert got[4] == (0, 0, 0, 0)
+    assert got[5] == (0, 0, 0, 0)
