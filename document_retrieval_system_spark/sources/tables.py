@@ -116,7 +116,9 @@ def delete_documents(spark: SparkSession, index_dir: str,
     import os
 
     from document_retrieval_system_spark.operators.index_build import (
+        MANIFEST_COLS,
         IndexPaths,
+        block_counter_agg,
         build_postings,
         decoded_term_rows,
         finalize_index,
@@ -181,6 +183,24 @@ def delete_documents(spark: SparkSession, index_dir: str,
         fs_delete(spark, os.path.join(paths.docs, f"shard={s}"))
     for s in set(int(x) for x in affected) - blk_shards:
         fs_delete(spark, os.path.join(paths.postings, f"shard={s}"))
+    # snapshot manifest rows: post-delete posting totals supersede the
+    # shard's earlier counters (zero rows for shards emptied entirely —
+    # without them manifest_stats would keep the pre-delete counts)
+    aff_df = spark.createDataFrame(
+        [(int(s),) for s in affected], "shard int"
+    )
+    (
+        aff_df.join(block_counter_agg(blocks), "shard", "left")
+        .na.fill(0, ["postings_emitted", "blocks", "doc_bytes", "tf_bytes",
+                     "dl_bytes", "pos_bytes"])
+        .withColumn("docs_parsed", F.lit(None).cast("long"))
+        .withColumn("docs_indexed", F.lit(None).cast("long"))
+        .withColumn("status", F.lit("delete"))
+        .withColumn("kind", F.lit("snapshot"))
+        .withColumn("committed_at", F.current_timestamp())
+        .select(*MANIFEST_COLS)
+        .coalesce(1).write.mode("append").parquet(paths.manifest)
+    )
     finalize_index(spark, paths)
 
 

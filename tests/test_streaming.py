@@ -486,3 +486,68 @@ def test_manifest_stats_survive_compaction_and_replay(spark, monkeypatch):
         assert stats["total_docs"] == 40
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_manifest_stats_full_lifecycle(spark):
+    """index_statistics must track ground truth through the whole
+    maintenance lifecycle: batch build -> stream insert -> stream update
+    (shard rewrite) -> compaction -> deletion.  After every step the
+    manifest-derived posting totals must equal the postings table and
+    docs_parsed must count parse EVENTS (never survivors or replays)."""
+    import datetime
+
+    from document_retrieval_system_spark.operators.index_build import IndexPaths
+    from document_retrieval_system_spark.sources.tables import (
+        delete_documents,
+        index_statistics,
+    )
+    from document_retrieval_system_spark.streaming import incremental as inc
+    from document_retrieval_system_spark.streaming.incremental import (
+        compact_shards,
+    )
+    from document_retrieval_system_spark.operators.index_build import (
+        IndexReader,
+        finalize_index,
+    )
+
+    idx = tempfile.mkdtemp(prefix="drs_life_idx_")
+    try:
+        base = gen_pages_pandas(30)
+        build_index(spark, spark.createDataFrame(base, PAGES_DDL), idx,
+                    n_shards=2)
+        paths = IndexPaths(idx)
+
+        def check(expected_parsed, note):
+            finalize_index(spark, paths)
+            r = IndexReader(spark, idx)
+            stats = index_statistics(r)
+            truth = r.postings().agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
+            truth_blocks = r.postings().count()
+            assert stats["postings"] == truth, (note, stats["postings"], truth)
+            assert stats["blocks"] == truth_blocks, (note, stats["blocks"])
+            assert stats["docs_parsed"] == expected_parsed, (
+                note, stats["docs_parsed"])
+
+        check(30, "after build")
+
+        inc._append_batch(
+            spark, spark.createDataFrame(gen_pages_pandas(10, start=30),
+                                         PAGES_DDL), 0, paths, 2)
+        check(40, "after insert batch")
+
+        r = IndexReader(spark, idx)
+        targets = r.docs().select("url", "warc_ts").orderBy("url").limit(4).collect()
+        upd = [(t["url"], t["warc_ts"] + datetime.timedelta(days=1), None,
+                "lifecycle update text", "en") for t in targets]
+        inc._append_batch(spark, spark.createDataFrame(upd, PAGES_DDL), 1,
+                          paths, 2)
+        check(44, "after update rewrite")
+
+        compact_shards(spark, paths)
+        check(44, "after compaction")
+
+        victims = [t["url"] for t in targets[:2]]
+        delete_documents(spark, idx, victims)
+        check(44, "after delete")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
