@@ -38,7 +38,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = [
-        "r3_bm25_topk", "r3_bm25_wand", "r1_tfidf_topk", "b7_phrase",
+        "r3_bm25_topk", "r3_bm25_wand", "r3_bm25_batch", "r1_tfidf_topk", "b7_phrase",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_ngram_jaccard3",
         "dedup_clusters", "emb_neardup", "ann_cosine_topk", "ann_lsh_topk",

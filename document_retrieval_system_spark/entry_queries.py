@@ -1333,6 +1333,52 @@ def q_r3_bm25_wand(spark, sf_dir):
     ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+BATCH_QUERY_TERMS = [
+    ["data", "join", "filter", "scan"],
+    ["table", "sort"],
+    ["spark", "hash", "merge", "value"],
+]
+
+
+def q_r3_bm25_batch(spark, sf_dir):
+    """Batched multi-query WAND over the real compressed index: three
+    queries share one stats lookup, one pushdown block scan, and one
+    per-shard kernel job — per-qid results bit-match the single-query
+    engine (pytest) and the DuckDB BM25 SQL (this hash)."""
+    from document_retrieval_system_spark.operators.wand import (
+        bm25_wand_search_many,
+    )
+
+    reader = _ensure_entry_index(spark, sf_dir)
+    res = bm25_wand_search_many(
+        reader, [" ".join(t) for t in BATCH_QUERY_TERMS], "en", 10**6, 0.0,
+        analyzer=simple_process_text,
+    )
+    return res.select(
+        "qid",
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("qid", F.desc("score"), F.asc("doc_id"))
+
+
+SQL_R3_BATCH = "WITH " + SQL_TFS + f""",
+stats AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+corpus AS (
+  SELECT count(*) AS n, avg(len(toks)) AS avgdl
+  FROM toks WHERE len(toks) > 0
+),
+q AS (
+  {" UNION ALL ".join(f"SELECT {qid} AS qid, unnest({terms!r}) AS term"
+                      for qid, terms in enumerate(BATCH_QUERY_TERMS))}
+)
+SELECT q.qid, tfs.doc_id,
+       round(sum( ln((corpus.n - stats.df + 0.5) / (stats.df + 0.5) + 1)
+             * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * tfs.dl / corpus.avgdl)) ), 6)
+         AS score
+FROM tfs JOIN q USING (term) JOIN stats USING (term) CROSS JOIN corpus
+GROUP BY q.qid, tfs.doc_id"""
+
+
 E2E_QUERY = "data join filter scan"
 E2E_NOW = 1719792000.0  # 2024-07-01 00:00:00 UTC, pinned for determinism
 E2E_RULES = {
@@ -1612,6 +1658,7 @@ QUERIES = {
         SQL_R3.replace("ORDER BY score DESC, doc_id LIMIT 20",
                        "ORDER BY score DESC, doc_id"),
     ),
+    "r3_bm25_batch": (q_r3_bm25_batch, SQL_R3_BATCH),
     "r1_tfidf_topk": (q_r1_tfidf_topk, SQL_R1),
     "b1_boolean_single": (q_b1_boolean_single, SQL_B1),
     "b2_boolean_and": (q_b2_boolean_and, SQL_B2_AND),

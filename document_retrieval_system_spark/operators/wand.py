@@ -308,3 +308,90 @@ def bm25_wand_search(
         .limit(k)
         .select("doc_id", "url", "score", "shard", "local_no")
     )
+
+
+def bm25_wand_search_many(
+    reader,
+    queries: list[str],
+    lang: str = "zh",
+    max_results: int = DEFAULT_MAX_RESULTS,
+    min_score: float = DEFAULT_MIN_SCORE,
+    analyzer=process_text,
+) -> DataFrame:
+    """Batched WAND: score N queries in ONE pass — one term-stats lookup,
+    one term-pushdown block scan over the union of query terms, and one
+    per-shard kernel job that runs every query against the shard's
+    already-fetched blocks.  Amortizes the per-job scheduling overhead
+    that dominates single-query latency (p50 ~0.6 s of which the kernel
+    is milliseconds) into throughput: a serving tier evaluates a batch
+    at near-single-query wall time.
+
+    Returns (qid, doc_id, url, score, shard, local_no) — per-query
+    top-``max_results`` with the engine's (score desc, doc_id asc)
+    tie-break; ``qid`` is the index into ``queries``."""
+    spark = reader.spark
+    corpus = reader.corpus()
+    n, avgdl = corpus["total_docs"], corpus["avg_doc_length"]
+    per_q_terms = {qid: analyzer(q, lang) for qid, q in enumerate(queries)}
+    all_terms = sorted({t for ts in per_q_terms.values() for t in ts})
+    from document_retrieval_system_spark.operators.search import _empty_result
+
+    if not all_terms:
+        return _empty_result(spark).withColumn("qid", F.lit(None).cast("int"))
+    stats = (
+        reader.term_stats().filter(F.col("term").isin(all_terms)).collect()
+    )
+    dfs = {r["term"]: r["df"] for r in stats}
+    wq: dict[int, dict[str, float]] = {}
+    for qid, terms in per_q_terms.items():
+        w: dict[str, float] = {}
+        for t in terms:  # per-occurrence accumulation, as in the reference
+            df = dfs.get(t, 0)
+            if df <= 0:
+                continue
+            w[t] = w.get(t, 0.0) + math.log((n - df + 0.5) / (df + 0.5) + 1)
+        if w:
+            wq[qid] = w
+    if not wq:
+        return _empty_result(spark).withColumn("qid", F.lit(None).cast("int"))
+    live_terms = sorted({t for w in wq.values() for t in w})
+    blocks = reader.postings().filter(F.col("term").isin(live_terms)).select(
+        "shard", "term", "first_doc", "last_doc", "max_tf", "min_dl",
+        "doc_bytes", "tf_bytes", "dl_bytes",
+    )
+    k, ms, a = int(max_results), float(min_score), float(avgdl)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid, w in wq.items():
+            sub = pdf[pdf["term"].isin(w)]
+            if len(sub) == 0:
+                continue
+            out = _shard_kernel(sub, w, a, k, ms)
+            if len(out):
+                out.insert(0, "qid", np.int32(qid))
+                outs.append(out)
+        if not outs:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int32"),
+                 "shard": pd.Series(dtype="int32"),
+                 "local_no": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    scored = blocks.groupBy("shard").applyInPandas(
+        kernel, "qid int, " + WAND_OUT_SCHEMA
+    )
+    docs = reader.docs().select("shard", "local_no", "doc_id", "url")
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return (
+        scored.join(docs, ["shard", "local_no"])
+        .withColumn("_rn", rank)
+        .filter(F.col("_rn") <= k)
+        .select("qid", "doc_id", "url", "score", "shard", "local_no")
+    )

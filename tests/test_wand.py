@@ -51,3 +51,42 @@ def test_wand_k_larger_than_candidates(reader, oracle_engine):
     got = _rows(bm25_wand_search(reader, "wand", "en", 10000, 0.0))
     want = oracle_engine.bm25("wand", "en", 10000, 0.0)
     assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_wand_batch_equals_singles(reader):
+    """Batched multi-query WAND is a pure throughput optimization: per
+    qid the results must be BIT-identical to N independent searches
+    (same kernel, same tie-break)."""
+    from document_retrieval_system_spark.operators.wand import (
+        bm25_wand_search_many,
+    )
+
+    queries = [
+        ("人工智能 大数据 机器学习", "zh"),
+        ("数据 算法", "zh"),
+        ("数据 数据 系统", "zh"),  # duplicate term: per-occurrence weight
+    ]
+    # all same lang per call; use zh batch
+    batch = bm25_wand_search_many(
+        reader, [q for q, _ in queries], "zh", 10, 0.0
+    ).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for row in by_q.values():
+        row.sort(key=lambda t: (-t[1], t[0]))
+    for qid, (q, lang) in enumerate(queries):
+        single = _rows(bm25_wand_search(reader, q, lang, 10, 0.0))
+        assert by_q.get(qid, []) == single, q
+
+
+def test_wand_batch_empty_and_unknown_queries(reader):
+    from document_retrieval_system_spark.operators.wand import (
+        bm25_wand_search_many,
+    )
+
+    out = bm25_wand_search_many(
+        reader, ["", "zzzzunknowntermzzz", "数据"], "zh", 5, 0.0
+    ).collect()
+    qids = {r["qid"] for r in out}
+    assert qids == {2}, qids
