@@ -1,24 +1,30 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media are opaque ``binary`` columns with typed metadata, processed by
-Arrow-batched ``mapInPandas`` stages — the Spark-side shape (schema,
-partitioning, UDF signature, batch flow) is real and tested; the actual
-codec decode is STUBBED because no image/audio libraries exist in this
-container.  Swap ``_decode_image_stub`` for PIL/ffmpeg in production —
-nothing else changes.
+Arrow-batched ``mapInPandas`` stages.  Decode is REAL for the formats the
+standard library can parse — uncompressed BMP (24/32-bit BI_RGB), binary
+PPM/PGM, and PCM WAV (8/16-bit, via ``wave``) — with byte-level
+round-trip tests against the fixture writers below.  Compressed codecs
+(JPEG/PNG/MP4) have no library in this container, so payloads that
+aren't a stdlib-parseable format fall back to a clearly-marked
+deterministic STUB (``decoded = false`` in the feature output); swap the
+fallback for PIL/ffmpeg in production — nothing else changes.
 
 Schema:
     media(media_id long, url string, kind string,      -- image|audio|video
           payload binary, mime string, width int, height int,
           duration_ms int)
 Feature output:
-    features(media_id long, kind string, n_bytes int,
+    features(media_id long, kind string, n_bytes int, decoded boolean,
              feature array<float>)   -- fixed-dim feature vector
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -30,16 +36,188 @@ MEDIA_SCHEMA = (
     "width int, height int, duration_ms int"
 )
 FEATURE_DIM = 16
-FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, decoded boolean, "
+    "feature array<float>"
+)
+
+
+# ---------------------------------------------------------------------------
+# real stdlib decoders (+ matching fixture writers)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Uncompressed bottom-up 24/32-bit BI_RGB BMP -> (h, w, 3) uint8
+    RGB array; None when out of subset (compression, palettes, top-down)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if (hdr_size < 40 or compression != 0 or planes != 1
+            or bpp not in (24, 32) or w <= 0 or h <= 0):
+        return None
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        return None
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(
+            payload, dtype=np.uint8, count=w * nch,
+            offset=data_off + y * row_bytes,
+        ).reshape(w, nch)
+        # rows are bottom-up, channels are BGR(A)
+        out[h - 1 - y] = row[:, [2, 1, 0]]
+    return out
+
+
+def make_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> 24-bit uncompressed BMP (round-trips through
+    decode_bmp exactly)."""
+    h, w, _ = rgb.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    out = bytearray()
+    out += b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    pad = b"\x00" * (row_bytes - w * 3)
+    for y in range(h - 1, -1, -1):
+        out += rgb[y, :, ::-1].tobytes() + pad
+    return bytes(out)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Binary P6 PPM -> (h, w, 3) uint8; binary P5 PGM -> (h, w) uint8."""
+    if payload[:2] not in (b"P6", b"P5"):
+        return None
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3 and i < len(payload):
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":  # comment to EOL
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except ValueError:
+        return None
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    nch = 3 if payload[:2] == b"P6" else 1
+    need = w * h * nch
+    if len(payload) - i < need:
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    return arr.reshape((h, w, 3) if nch == 3 else (h, w))
+
+
+def make_ppm(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """PCM WAV -> (float32 samples in [-1, 1] of the first channel,
+    sample_rate); None for non-PCM / out-of-subset files."""
+    try:
+        with wave.open(io.BytesIO(payload)) as f:
+            nch, sw, rate = f.getnchannels(), f.getsampwidth(), f.getframerate()
+            frames = f.readframes(f.getnframes())
+    except Exception:
+        return None
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+    else:
+        return None
+    if nch > 1:
+        arr = arr[::nch]
+    return arr, rate
+
+
+def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float32 [-1, 1] mono -> 16-bit PCM WAV (round-trips through
+    decode_wav to within one quantization step)."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """Fixed-dim real features: dims + per-channel mean/std + a 6-bin
+    grayscale histogram, padded to FEATURE_DIM."""
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    h, w, _ = img.shape
+    f = img.reshape(-1, 3).astype(np.float64)
+    gray = f.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=6, range=(0, 256))
+    feat = np.array(
+        [w, h, *(f.mean(axis=0) / 255.0), *(f.std(axis=0) / 255.0),
+         *(hist / max(1, gray.size))],
+        dtype=np.float32,
+    )
+    return np.pad(feat, (0, FEATURE_DIM - feat.size))[:FEATURE_DIM]
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """n / rate / mean / std / rms / peak / zero-crossing rate, padded."""
+    s = samples.astype(np.float64)
+    zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if s.size > 1 else 0.0
+    feat = np.array(
+        [s.size, rate, s.mean() if s.size else 0.0,
+         s.std() if s.size else 0.0,
+         float(np.sqrt(np.mean(s * s))) if s.size else 0.0,
+         float(np.abs(s).max()) if s.size else 0.0, zcr],
+        dtype=np.float32,
+    )
+    return np.pad(feat, (0, FEATURE_DIM - feat.size))[:FEATURE_DIM]
+
+
+def decode_media(payload: bytes) -> np.ndarray | None:
+    """Magic-byte dispatch to the real decoders; None if no stdlib
+    decoder applies (JPEG/PNG/MP4 — production swaps in PIL/ffmpeg)."""
+    if payload[:2] == b"BM":
+        img = decode_bmp(payload)
+        if img is not None:
+            return _image_features(img)
+    if payload[:2] in (b"P6", b"P5"):
+        img = decode_ppm(payload)
+        if img is not None:
+            return _image_features(img)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        got = decode_wav(payload)
+        if got is not None:
+            return _audio_features(*got)
+    return None
 
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB decode: deterministic pseudo-pixels from the payload hash.
-
-    Production: ``PIL.Image.open(io.BytesIO(payload))`` + resize; raise
-    NotImplementedError semantics are emulated by the deterministic fake
-    so the pipeline stays testable without codecs.
-    """
+    """Deterministic FALLBACK for compressed formats this container
+    cannot decode: pseudo-features from the payload hash (production:
+    ``PIL.Image.open`` / ffmpeg).  Rows that took this path carry
+    ``decoded = false``."""
     digest = hashlib.sha256(payload).digest()
     arr = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4],
                         dtype=np.uint8)
@@ -51,20 +229,28 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            nb = []
+            feats, nb, dec = [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
                     nb.append(0)
+                    dec.append(False)
+                    continue
+                payload = bytes(payload)
+                real = decode_media(payload)
+                if real is not None:
+                    feats.append(real.tolist())
+                    dec.append(True)
                 else:
-                    feats.append(_decode_image_stub(bytes(payload)).tolist())
-                    nb.append(len(payload))
+                    feats.append(_decode_image_stub(payload).tolist())
+                    dec.append(False)
+                nb.append(len(payload))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pd.Series(nb, dtype="int32"),
+                    "decoded": pd.Series(dec, dtype="bool"),
                     "feature": feats,
                 }
             )
@@ -88,9 +274,11 @@ def _decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
-    """Resize stage: decode (stubbed) -> real nearest-neighbor resample ->
-    packed bytes.  One Arrow map stage, no shuffle; the scan reads only
-    (media_id, kind, payload, width, height) — metadata columns prune."""
+    """Resize stage: decode (REAL for BMP/PPM/PGM payloads — grayscale of
+    the decoded pixels; deterministic stub for compressed formats) ->
+    nearest-neighbor resample -> packed bytes.  One Arrow map stage, no
+    shuffle; the scan reads only (media_id, kind, payload, width,
+    height) — metadata columns prune."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,8 +287,18 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFra
                 if row.payload is None or not row.width or not row.height:
                     out.append(None)
                     continue
-                img = _decode_pixels_stub(bytes(row.payload), int(row.width),
-                                          int(row.height))
+                payload = bytes(row.payload)
+                img = None
+                if payload[:2] == b"BM":
+                    img = decode_bmp(payload)
+                elif payload[:2] in (b"P6", b"P5"):
+                    img = decode_ppm(payload)
+                if img is not None:
+                    if img.ndim == 3:
+                        img = img.mean(axis=2).astype(np.uint8)
+                else:
+                    img = _decode_pixels_stub(payload, int(row.width),
+                                              int(row.height))
                 ys = (np.arange(out_h) * img.shape[0] // out_h)
                 xs = (np.arange(out_w) * img.shape[1] // out_w)
                 out.append(img[np.ix_(ys, xs)].tobytes())
@@ -153,14 +351,34 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media_df(spark, n: int = 64):
-    """Deterministic media fixture (binary payloads derived from the id)."""
+    """Deterministic media fixture.  Image rows alternate REAL formats
+    (BMP / P6 PPM, pixels derived from the id) so the pipeline exercises
+    the genuine decoders; audio rows are real PCM WAV sine-ish tones;
+    video rows stay opaque bytes (no stdlib codec — the documented stub
+    path, ``decoded = false``)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+        kind = kinds[i % 3]
+        w, h = 8 + i % 24, 8 + (i * 3) % 24
+        if kind == "image":
+            px = np.frombuffer(
+                (hashlib.sha256(f"img-{i}".encode()).digest()
+                 * (w * h * 3 // 32 + 1))[: w * h * 3], dtype=np.uint8,
+            ).reshape(h, w, 3)
+            payload = make_bmp(px) if i % 2 == 0 else make_ppm(px)
+            mime = "image/bmp" if i % 2 == 0 else "image/x-portable-pixmap"
+        elif kind == "audio":
+            t = np.arange(800 + 16 * i, dtype=np.float64)
+            payload = make_wav(
+                np.sin(2 * np.pi * (110 + 13 * i) * t / 8000.0) * 0.5, 8000
+            )
+            mime = "audio/wav"
+        else:
+            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+            mime = "video/mp4"
         rows.append(
-            (i, f"https://cdn.example.com/m/{i}", kinds[i % 3], payload,
-             "application/octet-stream", 64 + i % 512, 64 + (i * 3) % 512,
-             1000 * (i % 90))
+            (i, f"https://cdn.example.com/m/{i}", kind, payload,
+             mime, w, h, 1000 * (i % 90))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -158,3 +158,58 @@ def test_multimodal_resize_and_frame_sampling(spark):
     for r in got:
         assert r["ts_ms"] == r["frame_no"] * 1000
         assert len(bytes(r["frame"])) == 32
+
+
+def test_multimodal_real_stdlib_decoders(spark):
+    """BMP / PPM / WAV decode is REAL: byte-exact round-trips through the
+    fixture writers, correct features from known pixels/samples, and the
+    fixture's image+audio rows come back decoded=true while opaque video
+    bytes take the documented stub path (decoded=false)."""
+    import numpy as np
+
+    from document_retrieval_system_spark.sources.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_ppm,
+        decode_wav,
+        extract_features,
+        make_bmp,
+        make_ppm,
+        make_wav,
+        resize_images,
+        synthetic_media_df,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 5), (16, 9), (7, 8)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(make_bmp(px)), px)
+        assert np.array_equal(decode_ppm(make_ppm(px)), px)
+    s = (rng.random(500) * 2 - 1) * 0.9
+    dec, rate = decode_wav(make_wav(s, 8000))
+    assert rate == 8000 and np.abs(dec - s).max() <= 1.6 / 32768
+    # flat image -> exact known features (w, h, means, stds, histogram)
+    flat = np.full((4, 6, 3), 100, dtype=np.uint8)
+    feat = decode_media(make_bmp(flat))
+    assert feat[0] == 6 and feat[1] == 4
+    assert abs(feat[2] - 100 / 255) < 1e-6 and abs(feat[5]) < 1e-6
+    # compressed formats are honestly undecodable here
+    assert decode_media(b"\x89PNG\r\n\x1a\ngarbage") is None
+    assert decode_media(b"\xff\xd8\xff\xe0jpeg") is None
+
+    rows = extract_features(synthetic_media_df(spark, 12)).collect()
+    by_kind: dict = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r["decoded"])
+    assert all(by_kind["image"]) and all(by_kind["audio"])
+    assert not any(by_kind["video"])
+
+    # resize consumes REAL pixels for bmp payloads: a constant image
+    # resizes to constant bytes (the stub would give hash noise)
+    media = spark.createDataFrame(
+        [(0, "u", "image", make_bmp(flat), "image/bmp", 6, 4, 0)],
+        "media_id long, url string, kind string, payload binary, "
+        "mime string, width int, height int, duration_ms int",
+    )
+    out = resize_images(media, 3, 2).collect()[0]
+    assert bytes(out["pixels"]) == bytes([100] * 6)
