@@ -95,22 +95,12 @@ except Exception:  # pragma: no cover - jieba absent in this environment
     _HAVE_JIEBA = False
 
 
-def _is_cjk(ch: str) -> bool:
-    return "一" <= ch <= "鿿"
-
-
 from functools import lru_cache
 
 
 @lru_cache(maxsize=1 << 16)
 def _fmm_cached(chunk: str) -> tuple[str, ...]:
     return tuple(_fmm_raw(chunk))
-
-
-def _fmm(chunk: str) -> list[str]:
-    if len(chunk) <= 24:  # short runs dominate; cache them
-        return list(_fmm_cached(chunk))
-    return _fmm_raw(chunk)
 
 
 def _fmm_raw(chunk: str) -> list[str]:

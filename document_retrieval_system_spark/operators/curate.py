@@ -34,7 +34,14 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
                          dst_col: str = "id_b", max_iter: int = 25) -> DataFrame:
     """(node, component) for every node in ``pairs``; the component id is
     the minimum node id reachable through the pair edges (self
-    included).  Deterministic for any edge order."""
+    included).  Deterministic for any edge order.
+
+    Each round combines one hop of neighbor-min propagation with one
+    pointer-jump through the current labels (label <- label of my
+    label), so the minimum travels ~2^r nodes after r rounds — path
+    components of astronomical diameter converge well inside
+    ``max_iter``.  Returning silently unconverged labels would report
+    one real cluster as several, so exhaustion RAISES instead."""
     fwd = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     rev = pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
@@ -48,12 +55,25 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src").agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        hopped = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 labels["id"],
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jump: follow my label's own label one step
+        jump = labels.select(
+            F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
+        )
+        new_labels = (
+            hopped.join(jump, hopped["label"] == jump["_jid"], "left")
+            .select(
+                hopped["id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_jlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)  # bound plan growth per round
@@ -67,6 +87,10 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -63,7 +63,8 @@ def _tf_norm_scalar(tf: float, dl: float, avgdl: float) -> float:
 
 def _shard_kernel(pdf: pd.DataFrame, weights: dict[str, float], avgdl: float,
                   k: int, min_score: float,
-                  stats: dict | None = None) -> pd.DataFrame:
+                  stats: dict | None = None,
+                  raw_cache: dict | None = None) -> pd.DataFrame:
     """Block-max WAND over one shard's blocks for the query terms.
 
     Complexity: one cursor pass per term's (doc-sorted, disjoint) block
@@ -131,9 +132,25 @@ def _shard_kernel(pdf: pd.DataFrame, weights: dict[str, float], avgdl: float,
     def block_scores(i: int) -> tuple[np.ndarray, np.ndarray]:
         got = decoded.get(i)
         if got is None:
-            docs = delta_decode(vb_decode(doc_bytes[i])).astype(np.int64)
-            tfs = vb_decode(tf_bytes[i]).astype(np.float64)
-            dls = vb_decode(dl_bytes[i]).astype(np.float64)
+            # ``raw_cache`` shares the varbyte decode across the queries
+            # of a batched call; the per-query weight math stays
+            # per-call.  The key is the block's LOGICAL identity —
+            # blocks of one term hold disjoint doc sets, so (term,
+            # first_doc, last_doc) is unique within a shard.  (id() of
+            # the payload bytes is NOT a sound key: the objects are
+            # re-materialized per kernel call and a freed id can be
+            # reused, silently serving another block's postings.)
+            key = (terms[i], int(firsts[i]), int(lasts[i]))
+            raw = raw_cache.get(key) if raw_cache is not None else None
+            if raw is None:
+                raw = (
+                    delta_decode(vb_decode(doc_bytes[i])).astype(np.int64),
+                    vb_decode(tf_bytes[i]).astype(np.float64),
+                    vb_decode(dl_bytes[i]).astype(np.float64),
+                )
+                if raw_cache is not None:
+                    raw_cache[key] = raw
+            docs, tfs, dls = raw
             scores = w_arr[i] * (
                 tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl))
             )
@@ -336,8 +353,15 @@ def bm25_wand_search_many(
     all_terms = sorted({t for ts in per_q_terms.values() for t in ts})
     from document_retrieval_system_spark.operators.search import _empty_result
 
+    def _empty_batch():
+        # same column ORDER and types as the live path (qid first, int)
+        return spark.createDataFrame(
+            [], "qid int, doc_id string, url string, score double, "
+                "shard int, local_no long"
+        )
+
     if not all_terms:
-        return _empty_result(spark).withColumn("qid", F.lit(None).cast("int"))
+        return _empty_batch()
     stats = (
         reader.term_stats().filter(F.col("term").isin(all_terms)).collect()
     )
@@ -353,7 +377,7 @@ def bm25_wand_search_many(
         if w:
             wq[qid] = w
     if not wq:
-        return _empty_result(spark).withColumn("qid", F.lit(None).cast("int"))
+        return _empty_batch()
     live_terms = sorted({t for w in wq.values() for t in w})
     blocks = reader.postings().filter(F.col("term").isin(live_terms)).select(
         "shard", "term", "first_doc", "last_doc", "max_tf", "min_dl",
@@ -363,11 +387,12 @@ def bm25_wand_search_many(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
+        raw_cache: dict = {}  # share block decodes across the batch
         for qid, w in wq.items():
             sub = pdf[pdf["term"].isin(w)]
             if len(sub) == 0:
                 continue
-            out = _shard_kernel(sub, w, a, k, ms)
+            out = _shard_kernel(sub, w, a, k, ms, raw_cache=raw_cache)
             if len(out):
                 out.insert(0, "qid", np.int32(qid))
                 outs.append(out)

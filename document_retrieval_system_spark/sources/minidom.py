@@ -274,10 +274,12 @@ class _TreeBuilder(_StdHTMLParser):
                             break
                         if n2 in _SCOPE_BARRIERS or n2 in stops:
                             break
-                if any(el.name in _AFE_MARKER_TAGS for el in self.stack[cut:]):
-                    # an implied cell/caption close clears formatting
-                    # back to the marker that cell inserted
-                    self._clear_afe_to_marker()
+                # an implied cell/caption close clears formatting back to
+                # the marker each popped cell inserted (one clear per
+                # popped marker element)
+                for el in self.stack[cut:]:
+                    if el.name in _AFE_MARKER_TAGS:
+                        self._clear_afe_to_marker()
                 del self.stack[cut:]
                 return
             if name in _SCOPE_BARRIERS or name in stops:
@@ -351,10 +353,16 @@ class _TreeBuilder(_StdHTMLParser):
         for _ in range(8):
             fmt = self._afe_take(subject)
             if fmt is None:
-                # "any other end tag": pop to the nearest open match
+                # "any other end tag": pop to the nearest open match, but
+                # ABORT at the first special element — </b> inside an
+                # open <td> must be ignored, not allowed to destroy the
+                # enclosing cell/table structure (spec: 'if node is in
+                # the special category ... ignore the token')
                 for i in range(len(stack) - 1, 0, -1):
                     if stack[i].name == subject:
                         del stack[i:]
+                        return
+                    if stack[i].name in _SPECIAL:
                         return
                 return
             if not self._on_stack(fmt):
@@ -494,9 +502,14 @@ class _TreeBuilder(_StdHTMLParser):
             return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].name == tag:
+                # ANY popped marker element (e.g. </table> implicitly
+                # closing an open td) clears the formatting list back to
+                # its marker — keying on the end tag itself would leave a
+                # stale marker that blocks reconstruction forever
+                for el in self.stack[i:]:
+                    if el.name in _AFE_MARKER_TAGS:
+                        self._clear_afe_to_marker()
                 del self.stack[i:]
-                if tag in _AFE_MARKER_TAGS:
-                    self._clear_afe_to_marker()
                 return
         # unmatched end tag: ignore
 

@@ -39,12 +39,18 @@ def test_connected_components_matches_bruteforce(spark):
 
 
 def test_connected_components_long_chain(spark):
-    """A path graph needs label propagation over the full diameter."""
-    edges = [(i, i + 1) for i in range(12)]
+    """A path graph stresses propagation distance; the pointer-jump step
+    makes rounds O(log diameter), so a 60-node chain converges far
+    inside the default max_iter (and exhaustion raises, never returns
+    partial labels)."""
+    edges = [(i, i + 1) for i in range(60)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(df).collect()}
-    assert set(got.values()) == {0} and len(got) == 13
+    assert set(got.values()) == {0} and len(got) == 61
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
 
 
 def test_stratified_sample_deterministic_and_rate(spark):
