@@ -1148,6 +1148,33 @@ SELECT doc_id, """ + ", ".join(
 ) + " FROM pii_docs"
 
 
+DECON_NGRAM = 4  # 24 non-self contaminated pairs at sf0.01 (non-vacuous)
+DECON_EVAL_MOD = 31
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word 4-gram
+    with the eval subset (doc_id % 31 == 0) — the leakage check before
+    training.  Eval grams broadcast; training grams stream map-side."""
+    from document_retrieval_system_spark.operators.curate import decontaminate
+
+    d = _docs(spark, sf_dir)
+    return decontaminate(
+        d, d.filter(F.col("doc_id") % DECON_EVAL_MOD == 0),
+        ngram=DECON_NGRAM,
+    )
+
+
+SQL_CORPUS_DECON = "WITH " + SQL_TOKS + f""",
+dgrams AS (SELECT doc_id, unnest({_sql_grams(DECON_NGRAM)}) AS gram FROM toks),
+ev AS (SELECT doc_id AS eval_id, gram FROM dgrams
+       WHERE doc_id % {DECON_EVAL_MOD} = 0)
+SELECT d.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM dgrams d JOIN ev USING (gram)
+WHERE d.doc_id != ev.eval_id
+GROUP BY d.doc_id, ev.eval_id"""
+
+
 TOKEN_BUDGET = 2_000
 
 
@@ -1681,6 +1708,7 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
+    "corpus_decontaminate": (q_corpus_decontaminate, SQL_CORPUS_DECON),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),
     "ta_langid": (q_ta_langid, SQL_TA_LANGID),

@@ -165,3 +165,41 @@ def token_budget_select(df: DataFrame, budget_per_lang: int,
         .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.lit(budget_per_lang))
         .select(id_col, lang_col, "n_tokens", "cum_tokens")
     )
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, ngram: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_id_col: str = "eval_id") -> DataFrame:
+    """Benchmark decontamination: (train doc, eval doc, n shared word
+    n-grams) for every pair sharing at least one n-gram — the standard
+    leakage check before training on web text.  Self-pairs (the same id
+    on both sides) are excluded.
+
+    Scale shape: the eval/benchmark side is small, so its exploded gram
+    list broadcasts; the training side streams map-side through the
+    broadcast hash join — no shuffle of training grams, only the tiny
+    (train, eval) pair aggregation."""
+    from document_retrieval_system_spark.operators.textstats import (
+        simple_tokens,
+        word_ngrams,
+    )
+
+    def grams(df, idc, alias):
+        return df.select(
+            F.col(idc).alias(alias),
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(simple_tokens(F.col(text_col)), ngram)
+                )
+            ).alias("gram"),
+        )
+
+    tr = grams(train, id_col, "doc_id")
+    ev = grams(eval_df, id_col if eval_id_col not in eval_df.columns
+               else eval_id_col, "eval_id")
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .filter(F.col("doc_id") != F.col("eval_id"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )

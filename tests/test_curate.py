@@ -103,3 +103,37 @@ def test_pii_counts_patterns(spark):
     assert got[3][3] == 2
     assert got[4] == (0, 0, 0, 0)
     assert got[5] == (0, 0, 0, 0)
+
+
+def test_decontaminate_planted_overlap(spark):
+    from document_retrieval_system_spark.operators.curate import decontaminate
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    train = spark.createDataFrame(
+        [(1, f"prefix words {leak} suffix words here"),
+         (2, "totally unrelated content with no overlap at all"),
+         (3, f"{leak} twice in one doc {leak} counts once per gram")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"the benchmark includes {leak} verbatim")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["eval_id"]): r["n_shared_grams"]
+           for r in decontaminate(train, ev, ngram=8).collect()}
+    # the 8-token leak yields exactly one shared 8-gram per train doc
+    # (distinct grams per doc — repetition does not double-count)
+    assert got == {(1, 100): 1, (3, 100): 1}
+    # eval side must broadcast (map-side join, no training-gram shuffle)
+    plan = decontaminate(train, ev, ngram=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontaminate_excludes_self_pairs(spark):
+    from document_retrieval_system_spark.operators.curate import decontaminate
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    assert decontaminate(df, df, ngram=8).count() == 0
