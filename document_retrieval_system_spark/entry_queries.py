@@ -1148,6 +1148,77 @@ SELECT doc_id, """ + ", ".join(
 ) + " FROM pii_docs"
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + url-duplicate grouping over deterministic
+    messy variants derived from doc_id (the driver tables carry no url
+    column): every third doc emits 2-3 variants — uppercase host,
+    default port, tracking params, duplicate/trailing slashes, fragment
+    — that must collapse to one canonical key."""
+    from document_retrieval_system_spark.operators.curate import (
+        url_duplicate_groups,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    v0 = d.select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://WWW.Example.COM:443/p/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("/?utm_source=x&q=1#frag")).alias("url"),
+    )
+    v1 = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("https://www.example.com/p/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("?q=1")).alias("url"),
+    )
+    v2 = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("https://www.example.com/p//"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("/?q=1&utm_campaign=y")).alias("url"),
+    )
+    return url_duplicate_groups(v0.unionByName(v1).unionByName(v2))
+
+
+SQL_URL_DEDUP = """
+WITH urls AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example.COM:443/p/' || doc_id::VARCHAR
+           || '/?utm_source=x&q=1#frag' AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         'https://www.example.com/p/' || doc_id::VARCHAR || '?q=1'
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         'https://www.example.com/p//' || doc_id::VARCHAR
+           || '/?q=1&utm_campaign=y'
+  FROM documents WHERE doc_id % 3 = 0
+),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(
+        regexp_extract(regexp_replace(url, '#.*$', ''),
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*')),
+      ':(80|443)$', ''), '$^', '')
+    ||
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(
+        substr(regexp_replace(url, '#.*$', ''),
+               length(regexp_extract(regexp_replace(url, '#.*$', ''),
+                      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*')) + 1),
+        '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+      '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g'),
+      '//+', '/', 'g'), '/\\?', '?', 'g'), '/$', '', 'g')
+    AS canonical_url
+  FROM urls
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS keep_id
+FROM canon GROUP BY canonical_url HAVING count(*) > 1"""
+
+
 DECON_NGRAM = 4  # 24 non-self contaminated pairs at sf0.01 (non-vacuous)
 DECON_EVAL_MOD = 31
 
@@ -1709,6 +1780,7 @@ QUERIES = {
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
     "corpus_decontaminate": (q_corpus_decontaminate, SQL_CORPUS_DECON),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),
     "ta_langid": (q_ta_langid, SQL_TA_LANGID),

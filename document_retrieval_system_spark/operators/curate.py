@@ -203,3 +203,46 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, ngram: int = 8,
         .groupBy("doc_id", "eval_id")
         .agg(F.count("*").cast("long").alias("n_shared_grams"))
     )
+
+
+def canonical_url(url):
+    """Canonicalize a web URL column: strip the fragment, lowercase the
+    scheme+authority, drop default ports, remove tracking parameters
+    (utm_*, fbclid, gclid), collapse duplicate path slashes, and strip a
+    trailing slash — the normalization pass URL-level dedup keys on.
+    Pure column expressions (identical regex semantics in the DuckDB
+    oracle: every pattern is lookahead-free, replacements are global)."""
+    u0 = F.regexp_replace(url, r"#.*$", "")
+    pre = F.lower(
+        F.regexp_extract(u0, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
+    )
+    pre = F.regexp_replace(pre, r":(80|443)$", "")
+    rest = F.substr(u0, F.length(
+        F.regexp_extract(u0, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
+    ) + 1, F.length(u0))
+    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"//+", "/")
+    rest = F.regexp_replace(rest, r"/\?", "?")  # dir/?q=1 == dir?q=1
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(pre, rest)
+
+
+def url_duplicate_groups(df: DataFrame, url_col: str = "url",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Group documents whose URLs canonicalize identically: one row per
+    canonical URL with more than one variant — (canonical_url,
+    n_variants, keep_id) where keep_id is the minimum member (the doc a
+    pipeline keeps).  One groupBy on the canonical key; map-side
+    partial aggregation makes it a single shuffle of (url, count)."""
+    return (
+        df.select(F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

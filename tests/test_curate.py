@@ -137,3 +137,35 @@ def test_decontaminate_excludes_self_pairs(spark):
         "doc_id long, text string",
     )
     assert decontaminate(df, df, ngram=8).count() == 0
+
+
+def test_canonical_url_rules(spark):
+    from document_retrieval_system_spark.operators.curate import (
+        canonical_url,
+        url_duplicate_groups,
+    )
+
+    cases = [
+        # (input, canonical)
+        ("HTTPS://WWW.Example.COM:443/path/7/?utm_source=x&q=1#frag",
+         "https://www.example.com/path/7?q=1"),
+        ("https://www.example.com/path//7/?q=1&utm_campaign=y",
+         "https://www.example.com/path/7?q=1"),
+        ("http://Host.com:80/", "http://host.com"),
+        ("https://a.b/c?utm_x=1", "https://a.b/c"),
+        ("https://a.b/c?gclid=123&keep=2", "https://a.b/c?keep=2"),
+        ("https://a.b/UPPER/Case?Q=Mixed",  # path/query case preserved
+         "https://a.b/UPPER/Case?Q=Mixed"),
+        ("https://a.b:8080/x", "https://a.b:8080/x"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases], list(zip(got, cases))
+
+    dup = spark.createDataFrame(
+        [(1, cases[0][0]), (2, cases[1][0]), (3, "https://unique.example/z")],
+        "doc_id long, url string",
+    )
+    groups = url_duplicate_groups(dup).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_variants"] == 2 and groups[0]["keep_id"] == 1
