@@ -39,4 +39,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_builder, sql) in QUERIES.items() if sql is not None}
+    # a callable SQL entry is built at call time — used where the oracle
+    # embeds data-fitted literals (IVF centroids) that cannot be known at
+    # import time
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_builder, sql) in QUERIES.items()
+        if sql is not None
+    }

@@ -960,51 +960,98 @@ SQL_ANN_LSH = _sql_ann_lsh(10)
 IVF_K, IVF_NPROBE, IVF_SEED = 16, 4, 11
 
 
-def _ivf_cents():
-    """Driver-entry IVF centroids: seeded Gaussian (data-independent).
+_IVF_SAMPLE = 100_000
+_IVF_ITERS = 10
+_ivf_cents_cache: dict = {}
 
-    The oracle SQL is a static string generated at import time, so it
-    cannot embed k-means centroids fitted on a particular sf_dir; seeded
-    centroids keep the whole path (assignment, cell pruning, rerank)
-    hash-checkable at any sf.  The DATA-FITTED path
-    (similarity.ivf_centroids, Lloyd on a driver-side sample) is what a
-    deployment uses and is pytest-verified against brute force on
-    clustered vectors."""
+
+def _ivf_fitted_cents(sf_dir: str):
+    """DATA-FITTED IVF centroids for the driver entry: deterministic Lloyd
+    k-means over the sf_dir's embeddings table.
+
+    The fit runs driver-side on pyarrow + numpy (no SparkSession) so the
+    SAME function serves both the Spark query builder and ``oracle_sql``
+    — the oracle embeds these fitted values as SQL literals built at
+    call time, not import time, which is what lets the driver hash-check
+    a data-adapted index (r3 shipped seeded centroids for exactly this
+    reason; the oracle string was static then).  Determinism mirrors
+    similarity.ivf_centroids: the sample ranks rows by
+    md5(vec_id || seed) (never file order), init draws from a seeded
+    PCG64, Lloyd runs a fixed iteration count in float64."""
+    import hashlib
+
     import numpy as np
+    import pyarrow.parquet as pq
 
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (os.path.abspath(path), IVF_K, IVF_SEED)
+    if key in _ivf_cents_cache:
+        return _ivf_cents_cache[key]
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    ranked = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(f"{ids[i]}{IVF_SEED}".encode()).hexdigest(),
+    )[:_IVF_SAMPLE]
+    x = np.asarray([vecs[i] for i in ranked], dtype=np.float64)
     rng = np.random.default_rng(IVF_SEED)
-    return rng.standard_normal((IVF_K, EMB_DIM))
+    cents = x[rng.choice(len(x), size=min(IVF_K, len(x)), replace=False)]
+    for _ in range(_IVF_ITERS):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    _ivf_cents_cache[key] = cents
+    return cents
 
 
 def _ensure_ivf_index(spark, sf_dir: str) -> str:
-    params = f"ivf{IVF_K}-s{IVF_SEED}"
+    cents = _ivf_fitted_cents(sf_dir)
+    import hashlib
+
+    cfp = hashlib.md5(cents.tobytes()).hexdigest()[:10]
+    params = f"ivf{IVF_K}-fit-{cfp}"
     idx = _entry_cache_dir("ivf", sf_dir, "embeddings.parquet", params)
     if not os.path.exists(idx):
         tmp = f"{idx}.tmp-{os.getpid()}"
-        similarity.build_ivf_index(_emb(spark, sf_dir), tmp, _ivf_cents())
+        similarity.build_ivf_index(_emb(spark, sf_dir), tmp, cents)
         _publish_cache_dir(tmp, idx)
     return idx
 
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN scale path: embeddings persisted partitioned by nearest-
-    centroid cell; the query scans only its nprobe nearest cells
-    (partition pruning) and exact-cosine-reranks inside them."""
+    centroid cell (centroids FITTED on this sf_dir's data); the query
+    scans only its nprobe nearest cells (partition pruning) and
+    exact-cosine-reranks inside them."""
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     idx = _ensure_ivf_index(spark, sf_dir)
     return similarity.ivf_topk(
-        spark, idx, [float(x) for x in qvec], _ivf_cents(), k=10,
+        spark, idx, [float(x) for x in qvec], _ivf_fitted_cents(sf_dir), k=10,
         nprobe=IVF_NPROBE, pre_filter=F.col("vec_id") > 0,
     ).select("vec_id", "cosine")
 
 
+def _oracle_sf_dir() -> str:
+    """The sf_dir the DRIVER runs oracle SQL against (its correctness
+    gate executes both engines at sf0.01).  Oracle SQL builders that
+    embed DATA-FITTED literals (the IVF centroids) read this path; the
+    env var lets the /verify skill target another sf."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 def _sql_ann_ivf(k: int = 10) -> str:
-    """Oracle twin of the IVF path: centroid literals -> per-vector argmin
-    assignment (ordered-fold distances, ties to the lower centroid id,
-    exactly ivf_assign_col's array_sort tiebreak) -> the query's nprobe
-    nearest cells -> exact-cosine rerank of members, vec_id > 0."""
-    cents = _ivf_cents()
+    """Oracle twin of the IVF path: FITTED-centroid literals (computed at
+    call time on the oracle sf_dir's data — see _ivf_fitted_cents) ->
+    per-vector argmin assignment (ordered-fold distances, ties to the
+    lower centroid id, exactly ivf_assign_col's array_sort tiebreak) ->
+    the query's nprobe nearest cells -> exact-cosine rerank of members,
+    vec_id > 0."""
+    cents = _ivf_fitted_cents(_oracle_sf_dir())
     rows = ",\n    ".join(
         "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in cents[i]) + "]::DOUBLE[])"
         for i in range(IVF_K)
@@ -1047,7 +1094,9 @@ FROM ver CROSS JOIN qn
 ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 
-SQL_ANN_IVF = _sql_ann_ivf(10)
+# NOT a static string: the oracle embeds centroids fitted on the oracle
+# sf_dir's data, so the SQL text is built when oracle_sql() is called.
+SQL_ANN_IVF = _sql_ann_ivf
 
 
 def q_ta_langid(spark, sf_dir):
@@ -1196,23 +1245,28 @@ WITH urls AS (
            || '/?q=1&utm_campaign=y'
   FROM documents WHERE doc_id % 3 = 0
 ),
-canon AS (
+split AS (
   SELECT doc_id,
     regexp_replace(regexp_replace(lower(
         regexp_extract(regexp_replace(url, '#.*$', ''),
                        '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*')),
-      ':(80|443)$', ''), '$^', '')
-    ||
+      '^(http://[^:]*):80$', '\\1'), '^(https://[^:]*):443$', '\\1') AS pre,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(regexp_replace(
         substr(regexp_replace(url, '#.*$', ''),
                length(regexp_extract(regexp_replace(url, '#.*$', ''),
                       '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*')) + 1),
-        '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-      '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g'),
-      '//+', '/', 'g'), '/\\?', '?', 'g'), '/$', '', 'g')
-    AS canonical_url
+        '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\\1', 'g'),
+      '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS rest
   FROM urls
+),
+canon AS (
+  SELECT doc_id,
+    pre
+    || regexp_replace(regexp_replace(
+         regexp_extract(rest, '^[^?]*'), '//+', '/', 'g'), '/$', '', 'g')
+    || substr(rest, length(regexp_extract(rest, '^[^?]*')) + 1)
+    AS canonical_url
+  FROM split
 )
 SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
        min(doc_id) AS keep_id

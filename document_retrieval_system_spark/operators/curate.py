@@ -207,27 +207,29 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, ngram: int = 8,
 
 def canonical_url(url):
     """Canonicalize a web URL column: strip the fragment, lowercase the
-    scheme+authority, drop default ports, remove tracking parameters
-    (utm_*, fbclid, gclid), collapse duplicate path slashes, and strip a
-    trailing slash — the normalization pass URL-level dedup keys on.
+    scheme+authority, drop scheme-DEFAULT ports only (http:80 / https:443
+    — ':443' on an http origin is a different origin and is kept), remove
+    tracking parameters anchored at a '?'/'&' separator (so a legitimate
+    '?myfbclid=2' param survives), collapse duplicate slashes and the
+    trailing slash in the PATH component only (query values embedding
+    URLs are untouched) — the normalization pass URL-level dedup keys on.
     Pure column expressions (identical regex semantics in the DuckDB
     oracle: every pattern is lookahead-free, replacements are global)."""
     u0 = F.regexp_replace(url, r"#.*$", "")
-    pre = F.lower(
-        F.regexp_extract(u0, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
-    )
-    pre = F.regexp_replace(pre, r":(80|443)$", "")
-    rest = F.substr(u0, F.length(
-        F.regexp_extract(u0, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
-    ) + 1, F.length(u0))
-    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    pre_raw = F.regexp_extract(u0, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
+    pre = F.lower(pre_raw)
+    pre = F.regexp_replace(pre, r"^(http://[^:]*):80$", "$1")
+    pre = F.regexp_replace(pre, r"^(https://[^:]*):443$", "$1")
+    rest = F.substr(u0, F.length(pre_raw) + 1, F.length(u0))
+    rest = F.regexp_replace(rest, r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
     rest = F.regexp_replace(rest, r"\?&+", "?")
     rest = F.regexp_replace(rest, r"&&+", "&")
     rest = F.regexp_replace(rest, r"[?&]+$", "")
-    rest = F.regexp_replace(rest, r"//+", "/")
-    rest = F.regexp_replace(rest, r"/\?", "?")  # dir/?q=1 == dir?q=1
-    rest = F.regexp_replace(rest, r"/$", "")
-    return F.concat(pre, rest)
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    qs = F.substr(rest, F.length(path) + 1, F.length(rest))
+    path = F.regexp_replace(path, r"//+", "/")
+    path = F.regexp_replace(path, r"/$", "")  # also: dir/?q=1 == dir?q=1
+    return F.concat(pre, path, qs)
 
 
 def url_duplicate_groups(df: DataFrame, url_col: str = "url",

@@ -200,7 +200,7 @@ def lsh_index_topk(spark, index_dir: str, query: list[float], k: int = 10,
 
 def ivf_centroids(emb: DataFrame, n_clusters: int = 16, iters: int = 10,
                   seed: int = 7, sample: int = 100_000,
-                  vec_col: str = "embedding") -> np.ndarray:
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
     """Deterministic Lloyd k-means over a driver-side sample.
 
     Centroid FITTING is a sampled, driver-side step on purpose: at 10^12
@@ -208,8 +208,21 @@ def ivf_centroids(emb: DataFrame, n_clusters: int = 16, iters: int = 10,
     less) and the resulting centroids ship as literals to the
     assignment/query plans — fitting cost is O(sample), independent of
     corpus size, and the centroids are reproducible bit-for-bit from
-    (data, seed), which is what lets the DuckDB oracle share them."""
-    rows = emb.select(vec_col).limit(sample).collect()
+    (data, seed), which is what lets the DuckDB oracle share them.
+
+    The sample itself is a pure function of the data: rows are ranked by
+    md5(id || seed) and the first ``sample`` taken — a bare ``limit()``
+    depends on partition/file order, which repartitioning silently
+    changes.  Cost is one bounded top-k sort (TakeOrderedAndProject)."""
+    rows = (
+        emb.select(
+            F.col(vec_col),
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(sample)
+        .collect()
+    )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]

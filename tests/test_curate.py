@@ -157,6 +157,18 @@ def test_canonical_url_rules(spark):
         ("https://a.b/UPPER/Case?Q=Mixed",  # path/query case preserved
          "https://a.b/UPPER/Case?Q=Mixed"),
         ("https://a.b:8080/x", "https://a.b:8080/x"),  # non-default port kept
+        # tracking strip anchors at the param separator: these are
+        # legitimately different params, not utm_/fbclid
+        ("https://a.b/c?xutm_source=1", "https://a.b/c?xutm_source=1"),
+        ("https://a.b/c?myfbclid=2", "https://a.b/c?myfbclid=2"),
+        ("https://a.b/c?utm_a=1&utm_b=2", "https://a.b/c"),
+        # duplicate-slash collapse is path-only: query values embedding
+        # URLs stay distinct
+        ("https://a.b/c?next=http://x//y", "https://a.b/c?next=http://x//y"),
+        # default-port strip is scheme-aware: these are distinct origins
+        ("http://x.com:443/p", "http://x.com:443/p"),
+        ("https://x.com:80/p", "https://x.com:80/p"),
+        ("http://x.com:80/p", "http://x.com/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
