@@ -1356,19 +1356,35 @@ def q_ta_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir), k=8)
 
 
-SQL_TA_FINGERPRINT = """
-WITH g AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN length(lower(text)) >= 8
-           THEN list_transform(range(1, length(lower(text)) - 6),
-                               i -> substr(lower(text), i, 8))
-           ELSE [] END) AS grams
+# Horner polynomial over codepoints, base 31, k=8 — the exact constants
+# of textstats.fingerprint's zip_with chain; windows of 16 gram
+# positions, clamped at the tail, one truncated window when P < 16.
+_FP_POWS = [31 ** (7 - j) for j in range(8)]
+SQL_TA_FINGERPRINT = f"""
+WITH c AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t,
+         greatest(length(lower(coalesce(text, ''))) - 7, 0) AS p
   FROM documents
+),
+h AS (
+  SELECT doc_id, p,
+         list_transform(range(1, p + 1), i ->
+           {' + '.join(f"unicode(substr(t, i + {j}, 1))::BIGINT * {w}"
+                       for j, w in enumerate(_FP_POWS))}
+         ) AS hs
+  FROM c
+),
+w AS (
+  SELECT doc_id, hs,
+         list_transform(
+           range(1, greatest(p - 15, least(p, 1)) + 1),
+           q -> list_aggregate(hs[q:q+15], 'min')) AS sel
+  FROM h
 )
 SELECT doc_id,
-       list_aggregate(list_transform(grams, s -> md5(s)), 'min') AS fingerprint,
-       len(grams) AS n_shingles
-FROM g"""
+       list_aggregate(hs, 'min') AS fingerprint,
+       CAST(len(list_distinct(sel)) AS BIGINT) AS n_fp
+FROM w"""
 
 
 # ---------------------------------------------------------------------------

@@ -153,14 +153,70 @@ def pii_counts(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col), *cols)
 
 
+FP_BASE = 31  # polynomial base; 8 codepoints * 31^7 stays < 2^58 (no mod)
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                k: int = 8) -> DataFrame:
-    """Rolling-hash document fingerprint: min over char-k-gram md5 hashes
-    (winnowing-style 1-of-N selection) + shingle cardinality."""
-    sh = char_shingles(F.col(text_col), k)
-    fp = F.array_min(F.transform(sh, F.md5))
-    return df.select(
-        F.col(id_col), fp.alias("fingerprint"), F.size(sh).alias("n_shingles")
+                k: int = 8, window: int = 16) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken '03):
+    polynomial hash per char-k-gram + window-minimum selection.
+
+    r1-r3 computed one md5 PER CHARACTER of corpus text (array_min over
+    md5'd shingles) — linear but with a constant that made this the
+    suite's most expensive query (8.1 s at sf0.1).  Now:
+
+    - gram hash = Horner polynomial over codepoints (h*31 + c), built as
+      a k-level zip_with chain over ONE materialized codes array — pure
+      JVM integer ops, no digest, exact in BIGINT (max codepoint 2^21 *
+      31^7 * 8 < 2^58).  Spark ``ascii``/``split('')`` and DuckDB
+      ``unicode``/``substr`` agree on full codepoints incl. astral.
+    - selection = min per sliding window of ``window`` gram positions,
+      via a log2(window) sparse-table of zip_with(least) levels, each
+      materialized once (windows clamped at the text tail; one
+      truncated window when fewer than ``window`` grams exist).
+
+    Output per doc: ``fingerprint`` = global min hash (always a member
+    of the winnowed set), ``n_fp`` = distinct winnowed hashes — the
+    density-guaranteed sketch size (~2/(window+1) per char vs one hash
+    per char before)."""
+    assert window & (window - 1) == 0, "window must be a power of two"
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    out = df.select(F.col(id_col), codes.alias("_codes"))
+    sz = F.size(F.col("_codes"))
+    h = F.col("_codes")
+    for j in range(1, k):
+        nxt = F.slice(F.col("_codes"), j + 1, F.greatest(sz - j, F.lit(0)))
+        h = F.zip_with(h, nxt, lambda a, b: a * FP_BASE + b)
+    # gram positions 1..P valid; tail entries are null (zip_with padding)
+    out = out.select(
+        F.col(id_col), h.alias("_h"),
+        F.greatest(sz - (k - 1), F.lit(0)).alias("_p"),
+    )
+    # sparse-table sliding minimum: level `off` holds min over [i, i+2*off)
+    cur = "_h"
+    off = 1
+    while off < window:
+        sz_m = F.size(F.col(cur))
+        nxt_name = f"_w{off * 2}"
+        out = out.withColumn(
+            nxt_name,
+            F.zip_with(
+                F.col(cur),
+                F.slice(F.col(cur), off + 1, F.greatest(sz_m - off, F.lit(0))),
+                lambda a, b: F.least(a, b),  # least skips the null padding
+            ),
+        )
+        cur = nxt_name
+        off *= 2
+    n_windows = F.greatest(
+        F.col("_p") - (window - 1), F.least(F.col("_p"), F.lit(1))
+    )
+    winnowed = F.array_distinct(F.slice(F.col(cur), 1, n_windows))
+    return out.select(
+        F.col(id_col),
+        F.array_min(F.slice(F.col("_h"), 1, F.col("_p"))).alias("fingerprint"),
+        F.size(winnowed).cast("long").alias("n_fp"),
     )
 
 
