@@ -1394,8 +1394,9 @@ FROM w"""
 # Bump when analyzer / index-build logic changes so stale cached entry
 # artifacts (shared temp dir across driver runs) are never reused.
 # v3: gap-aligned posting block boundaries.  v4: tagged ("b"-prefixed)
-# ANN bucket partition values.
-ENTRY_CACHE_VERSION = 5
+# ANN bucket partition values.  v5: manifest kind+committed_at.
+# v6: URL-ordered local_no assignment (docID locality).
+ENTRY_CACHE_VERSION = 6
 
 
 def _content_fingerprint(path: str) -> str:

@@ -73,9 +73,18 @@ def add_doc_identity(pages: DataFrame, n_shards: int) -> DataFrame:
 
 
 def assign_local_no(docs: DataFrame) -> DataFrame:
-    """Dense per-shard ordinal.  One task per shard sorts its doc_ids; at
-    larger scale raise n_shards so each shard's sort fits an executor."""
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    """Dense per-shard ordinal, assigned in URL sort order.
+
+    URL-ordered docIDs are the classic IR assignment for web corpora:
+    pages of one host/topic share vocabulary and sort adjacent, so a
+    term's postings concentrate in docID ranges instead of spreading
+    i.i.d.  That locality is what block-max metadata exploits — WAND
+    pruning on md5-ordered ordinals (r1-r3) was structurally impossible
+    because hashing whitens the docID axis (measured decoded_frac ~1.0
+    regardless of corpus clustering).  It also tightens delta+varbyte:
+    hot hosts yield dense ordinal runs.  One task per shard sorts its
+    urls; at larger scale raise n_shards so the sort fits an executor."""
+    w = Window.partitionBy("shard").orderBy("url")
     return docs.withColumn("local_no", (F.row_number().over(w) - 1).cast("long"))
 
 

@@ -61,8 +61,44 @@ _EN_WEIGHTS = [1.0 / (r + 1) for r in range(len(EN_VOCAB))]
 _ZH_WEIGHTS = [1.0 / (r + 1) for r in range(len(ZH_WORDS))]
 
 
-def _en_sentence(rng: random.Random, n: int) -> str:
+# --- topic clustering (docID-locality corpora) -----------------------------
+#
+# With ``topics=T`` pages carry a topic id in the URL HOST prefix, and 40%
+# of each English page's tokens draw from a 16-word vocabulary unique to
+# its topic (Zipf within the slice) — the URL-sorted-crawl shape of real
+# web corpora, where pages of one host/topic share vocabulary and sort
+# adjacent.  Because index ordinals are assigned in URL order, each
+# topical term's postings then concentrate in a contiguous docID range
+# per shard, which is the structure block-max WAND pruning exploits
+# (i.i.d. token draws make every block bound identical and pruning
+# impossible for ANY block-max scheme).  Default topics=0 keeps the
+# r1-r3 corpus byte-identical.
+
+TOPIC_MIX = 0.4  # fraction of en word draws taken from the topic slice
+# letter-only (the analyzer strips digits) and Porter-inert finals, so
+# every topical word survives analysis as a distinct term
+_TOPIC_SUFFIX = "bcfgjkmnpqrtvwxz"
+TOPIC_WORDS_PER_TOPIC = len(_TOPIC_SUFFIX)
+_TOPIC_VOCAB_CACHE: dict[int, list[str]] = {}
+_TOPIC_WEIGHTS = [1.0 / (r + 1) for r in range(TOPIC_WORDS_PER_TOPIC)]
+
+
+def topic_vocab(topic: int) -> list[str]:
+    if topic not in _TOPIC_VOCAB_CACHE:
+        a, b = chr(97 + topic // 26), chr(97 + topic % 26)
+        _TOPIC_VOCAB_CACHE[topic] = [
+            f"topic{a}{b}word{s}" for s in _TOPIC_SUFFIX
+        ]
+    return _TOPIC_VOCAB_CACHE[topic]
+
+
+def _en_sentence(rng: random.Random, n: int, topic: int = -1) -> str:
     words = rng.choices(EN_VOCAB, weights=_EN_WEIGHTS, k=n)
+    if topic >= 0:
+        tv = topic_vocab(topic)
+        for p in range(len(words)):
+            if rng.random() < TOPIC_MIX:
+                words[p] = rng.choices(tv, weights=_TOPIC_WEIGHTS, k=1)[0]
     if rng.random() < 0.3:
         words.insert(rng.randrange(len(words) + 1), str(rng.randrange(1900, 2030)))
     return " ".join(words).capitalize() + rng.choice([".", "!", "?", "..."])
@@ -79,14 +115,17 @@ def _zh_sentence(rng: random.Random, n: int) -> str:
     return "".join(parts) + rng.choice(["。", "，继续。", "！", "？"])
 
 
-def _paragraphs(rng: random.Random, lang: str, n_para: int) -> list[str]:
+def _paragraphs(rng: random.Random, lang: str, n_para: int,
+                topic: int = -1) -> list[str]:
     out = []
     for _ in range(n_para):
         n_sent = rng.randint(1, 4)
         if lang == "zh":
             out.append("".join(_zh_sentence(rng, rng.randint(3, 10)) for _ in range(n_sent)))
         else:
-            out.append(" ".join(_en_sentence(rng, rng.randint(4, 14)) for _ in range(n_sent)))
+            out.append(" ".join(
+                _en_sentence(rng, rng.randint(4, 14), topic) for _ in range(n_sent)
+            ))
     return out
 
 
@@ -105,25 +144,34 @@ _FILTERED_BLOCKS = [
 ]
 
 
-def gen_page(i: int, seed: int = 42,
-             size_scale: int = 1) -> tuple[str, dt.datetime, bytes, str]:
+def gen_page(i: int, seed: int = 42, size_scale: int = 1,
+             topics: int = 0) -> tuple[str, dt.datetime, bytes, str]:
     """Generate page ``i`` deterministically: (url, warc_ts, html, lang).
 
     ``size_scale`` multiplies paragraph counts — benchmarks use >1 for
     realistic Common-Crawl-ish page sizes; tests keep 1.
+
+    ``topics``: >0 produces a topic-clustered corpus (see the topic
+    clustering note above): the topic id prefixes the URL host, so
+    URL-ordered docIDs group by topic.  0 (default) is byte-identical
+    to the r1-r3 corpus.
     """
     rng = random.Random((seed << 32) ^ i)
     lang = "zh" if i % 3 == 0 else "en"
-    url = f"https://site{i % 97}.example.com/{lang}/page/{i}"
+    topic = (i % topics) if topics > 0 else -1
+    host_prefix = f"t{topic:03d}." if topic >= 0 else ""
+    url = f"https://{host_prefix}site{i % 97}.example.com/{lang}/page/{i}"
     warc_ts = BASE_TS + dt.timedelta(seconds=(i * 9973) % (360 * 86400))
 
     # duplicate-content fixture: every 53rd page clones the previous page's
     # body under a distinct url (exact-dedup + tie-break determinism).
     body_idx = i - 1 if (i % 53 == 0 and i > 0) else i
     brng = random.Random((seed << 32) ^ body_idx ^ 0xBEEF)
+    # body follows the BODY page's topic so the clone stays byte-identical
+    btopic = (body_idx % topics) if topics > 0 else -1
 
     title_words = (_zh_sentence(brng, 3) if lang == "zh" else _en_sentence(brng, 5))
-    paras = _paragraphs(brng, lang, brng.randint(2, 7) * size_scale)
+    paras = _paragraphs(brng, lang, brng.randint(2, 7) * size_scale, btopic)
     short_para = "tiny" if lang == "en" else "短句"
     long_heading = (_zh_sentence(brng, 4) if lang == "zh" else _en_sentence(brng, 6))
     short_heading = "Hi"  # len <= 5: must be skipped by the extractor
@@ -194,12 +242,13 @@ def gen_pages_pandas(n: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def pages_df(spark, n: int, seed: int = 42, size_scale: int = 1):
+def pages_df(spark, n: int, seed: int = 42, size_scale: int = 1,
+             topics: int = 0):
     """Distributed generation: each executor task generates its id range."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].tolist()
-            rows = [gen_page(int(i), seed, size_scale) for i in ids]
+            rows = [gen_page(int(i), seed, size_scale, topics) for i in ids]
             yield pd.DataFrame(
                 {
                     "url": [r[0] for r in rows],

@@ -95,7 +95,8 @@ def _append_inserts(spark: SparkSession, ins: DataFrame, batch_id: int,
         }
     from pyspark.sql import Window
 
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    # url order within the batch — same locality rule as assign_local_no
+    w = Window.partitionBy("shard").orderBy("url")
     off_expr = F.lit(0).cast("long")
     for shard, mx in offsets.items():
         off_expr = F.when(F.col("shard") == shard, F.lit(mx + 1)).otherwise(off_expr)
@@ -166,7 +167,8 @@ def _rewrite_updated_shards(spark: SparkSession, batch_aff: DataFrame,
     from pyspark.sql import Window
 
     base = old_docs.groupBy("shard").agg(F.max("local_no").alias("_base"))
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    # url order within the batch — same locality rule as assign_local_no
+    w = Window.partitionBy("shard").orderBy("url")
     fresh_meta = (
         fresh_tok.select("doc_id", "url", "warc_ts", "lang", "title", "text",
                          "doc_len", "shard")
