@@ -328,6 +328,28 @@ def fs_delete(spark: SparkSession, path: str) -> None:
         fs.delete(hpath, True)
 
 
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file via the Hadoop FileSystem API (overwrite)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file via the Hadoop FileSystem API."""
+    fs, hpath = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def _read_postings_or_empty(spark: SparkSession, paths: IndexPaths) -> DataFrame:
     """Postings table, or an empty frame when no blocks exist yet (a wave
     whose documents all tokenize empty writes no posting files).  Only
@@ -605,6 +627,122 @@ def finalize_index(spark: SparkSession, paths: IndexPaths) -> None:
         .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("tfidf_veclen"))
     )
     norms.write.mode("overwrite").parquet(paths.doc_norms)
+
+
+# ---------------------------------------------------------------------------
+# Maintenance rewrites (delete / compaction) + crash-replay repair
+# ---------------------------------------------------------------------------
+
+# test fault injection: called between the postings overwrite and the
+# manifest snapshot append of a maintenance rewrite (the crash window a
+# surviving intent marker repairs)
+_AFTER_POSTINGS_REWRITE_HOOK = None
+
+_MAINT_INTENT_FILE = "maintenance_intent.json"
+
+
+def maintenance_intent_path(paths: IndexPaths) -> str:
+    return os.path.join(paths.root, _MAINT_INTENT_FILE)
+
+
+def write_maintenance_intent(spark: SparkSession, paths: IndexPaths,
+                             op: str, shards: list[int]) -> None:
+    import json
+
+    fs_write_text(
+        spark, maintenance_intent_path(paths),
+        json.dumps({"op": op, "shards": [int(s) for s in shards]}),
+    )
+
+
+def rebuild_shard_postings(spark: SparkSession, paths: IndexPaths,
+                           shards: list[int], status: str) -> None:
+    """Rebuild the posting partitions of ``shards`` from (decoded current
+    postings ∩ current docs), dynamic-overwrite them, and append snapshot
+    manifest rows.  Pure codec work — position payloads byte-sliced, the
+    analyzer never runs.
+
+    This one primitive backs three operations:
+    - **delete** (docs rows already dropped): the docs join filters the
+      deleted docs' orphaned posting rows out;
+    - **compaction**: N delta segments per (shard, term) re-block into
+      one gap-aligned run (a no-orphan rebuild);
+    - **crash repair**: a maintenance op that died between its two
+      overwrites left postings referencing docs that no longer exist (or
+      a missing manifest snapshot); re-running the rebuild from current
+      state is idempotent and converges to the op's intended outcome.
+    """
+    shard_filter = F.col("shard").isin([int(s) for s in shards])
+    doc_map = (
+        spark.read.parquet(paths.docs).filter(shard_filter)
+        .select("shard", "local_no")
+    )
+    old_blocks = _read_postings_or_empty(spark, paths).filter(shard_filter)
+    rows = (
+        decoded_term_rows(old_blocks)
+        .join(doc_map, ["shard", "local_no"])  # inner join drops orphans
+        .select("shard", "local_no", "term", "tf", "pos_bytes", "doc_len")
+    )
+    # lineage reads paths.postings, which is overwritten below — freeze
+    blocks = build_postings(rows).localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            blocks.repartition(max(len(shards), 1), "shard")
+            .sortWithinPartitions("term", "block_no")
+            .write.partitionBy("shard").mode("overwrite").parquet(paths.postings)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # frame: a shard left with no postings must have its stale partition
+    # deleted explicitly or its old blocks silently survive
+    blk_shards = {r["shard"] for r in blocks.select("shard").distinct().collect()}
+    for s in {int(x) for x in shards} - blk_shards:
+        fs_delete(spark, os.path.join(paths.postings, f"shard={s}"))
+    if _AFTER_POSTINGS_REWRITE_HOOK is not None:
+        _AFTER_POSTINGS_REWRITE_HOOK()
+    # snapshot rows for EVERY target shard (zero counters where emptied —
+    # without them manifest_stats would keep the pre-rewrite counts)
+    aff_df = spark.createDataFrame([(int(s),) for s in shards], "shard int")
+    (
+        aff_df.join(block_counter_agg(blocks), "shard", "left")
+        .na.fill(0, ["postings_emitted", "blocks", "doc_bytes", "tf_bytes",
+                     "dl_bytes", "pos_bytes"])
+        .withColumn("docs_parsed", F.lit(None).cast("long"))
+        .withColumn("docs_indexed", F.lit(None).cast("long"))
+        .withColumn("status", F.lit(status))
+        .withColumn("kind", F.lit("snapshot"))
+        .withColumn("committed_at", F.current_timestamp())
+        .select(*MANIFEST_COLS)
+        .coalesce(1).write.mode("append").parquet(paths.manifest)
+    )
+
+
+def repair_maintenance(spark: SparkSession, paths: IndexPaths) -> dict | None:
+    """Repair after a maintenance op (delete / compaction) crashed
+    mid-rewrite: a surviving intent marker names the shards whose docs
+    and postings may be out of step (docs overwritten, postings not, or
+    the manifest snapshot missing).  The repair re-runs the shard rebuild
+    from CURRENT state — restoring per-shard consistency, not the crashed
+    op's intent: a delete that died before its docs overwrite simply did
+    not happen, and the caller retries it.  Returns the repaired intent,
+    or None if the index is clean.  Runs automatically at the start of
+    delete_documents / compact_shards / run_incremental."""
+    import json
+
+    p = maintenance_intent_path(paths)
+    if not fs_exists(spark, p):
+        return None
+    intent = json.loads(fs_read_text(spark, p))
+    rebuild_shard_postings(
+        spark, paths, intent["shards"], status=f"repair-{intent['op']}"
+    )
+    finalize_index(spark, paths)
+    fs_delete(spark, p)
+    return intent
 
 
 class IndexReader:

@@ -116,17 +116,19 @@ def delete_documents(spark: SparkSession, index_dir: str,
     import os
 
     from document_retrieval_system_spark.operators.index_build import (
-        MANIFEST_COLS,
         IndexPaths,
-        block_counter_agg,
-        build_postings,
-        decoded_term_rows,
         finalize_index,
         fs_delete,
-        _read_postings_or_empty,
+        maintenance_intent_path,
+        rebuild_shard_postings,
+        repair_maintenance,
+        write_maintenance_intent,
     )
 
     paths = IndexPaths(index_dir)
+    # a prior maintenance op may have died mid-rewrite — restore per-shard
+    # consistency before reading any state
+    repair_maintenance(spark, paths)
     doc_ids = [hashlib.md5(u.encode("utf-8")).hexdigest() for u in urls]
     docs = spark.read.parquet(paths.docs)
     affected = sorted(
@@ -138,25 +140,19 @@ def delete_documents(spark: SparkSession, index_dir: str,
         return
 
     # retained docs keep their rows AND their stable local_no verbatim —
-    # deletion is pure codec work: survivor posting rows are decoded from
-    # the existing compressed blocks and re-blocked, the analyzer never
-    # runs (the r2 path re-tokenized every retained doc of an affected
-    # shard — shard-sized Python cost to delete one url)
+    # deletion is pure codec work: the docs rows are dropped first, then
+    # rebuild_shard_postings re-blocks the survivors from the existing
+    # compressed blocks (its docs join drops the deleted docs' rows);
+    # the analyzer never runs
     shard_filter = F.col("shard").isin([int(s) for s in affected])
     keep = docs.filter(
         shard_filter & ~F.col("doc_id").isin(doc_ids)
     ).localCheckpoint(eager=True)
-    old_blocks = _read_postings_or_empty(spark, paths).filter(shard_filter)
-    old_map = docs.filter(shard_filter).select("shard", "local_no", "doc_id")
-    rows = (
-        decoded_term_rows(old_blocks)
-        .join(old_map, ["shard", "local_no"])
-        .filter(~F.col("doc_id").isin(doc_ids))
-        .select("shard", "local_no", "term", "tf", "pos_bytes", "doc_len")
-    )
-    blocks = build_postings(rows).localCheckpoint(eager=True)
 
-    # overwrite only the affected shard partitions (dynamic overwrite)
+    # intent marker BEFORE the first mutation; deleted only after the
+    # manifest snapshot + finalize — a crash in between leaves the marker
+    # and the next maintenance entry point repairs the shards
+    write_maintenance_intent(spark, paths, "delete", affected)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -166,42 +162,17 @@ def delete_documents(spark: SparkSession, index_dir: str,
         ).repartition(len(affected), "shard").write.partitionBy("shard").mode(
             "overwrite"
         ).parquet(paths.docs)
-        blocks.repartition(
-            len(affected), "shard"
-        ).sortWithinPartitions("term", "block_no").write.partitionBy("shard").mode(
-            "overwrite"
-        ).parquet(paths.postings)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     # dynamic overwrite only replaces partitions PRESENT in the written
-    # frame: a shard emptied by the delete (or left with no postings)
-    # would otherwise keep its stale partition — the deleted docs would
-    # silently survive
+    # frame: a shard emptied by the delete keeps its stale docs partition
+    # unless deleted explicitly
     kept_shards = {r["shard"] for r in keep.select("shard").distinct().collect()}
-    blk_shards = {r["shard"] for r in blocks.select("shard").distinct().collect()}
-    for s in set(int(x) for x in affected) - kept_shards:
+    for s in {int(x) for x in affected} - kept_shards:
         fs_delete(spark, os.path.join(paths.docs, f"shard={s}"))
-    for s in set(int(x) for x in affected) - blk_shards:
-        fs_delete(spark, os.path.join(paths.postings, f"shard={s}"))
-    # snapshot manifest rows: post-delete posting totals supersede the
-    # shard's earlier counters (zero rows for shards emptied entirely —
-    # without them manifest_stats would keep the pre-delete counts)
-    aff_df = spark.createDataFrame(
-        [(int(s),) for s in affected], "shard int"
-    )
-    (
-        aff_df.join(block_counter_agg(blocks), "shard", "left")
-        .na.fill(0, ["postings_emitted", "blocks", "doc_bytes", "tf_bytes",
-                     "dl_bytes", "pos_bytes"])
-        .withColumn("docs_parsed", F.lit(None).cast("long"))
-        .withColumn("docs_indexed", F.lit(None).cast("long"))
-        .withColumn("status", F.lit("delete"))
-        .withColumn("kind", F.lit("snapshot"))
-        .withColumn("committed_at", F.current_timestamp())
-        .select(*MANIFEST_COLS)
-        .coalesce(1).write.mode("append").parquet(paths.manifest)
-    )
+    rebuild_shard_postings(spark, paths, affected, status="delete")
     finalize_index(spark, paths)
+    fs_delete(spark, maintenance_intent_path(paths))
 
 
 def index_statistics(reader) -> dict:

@@ -316,35 +316,33 @@ def compact_shards(spark: SparkSession, paths: IndexPaths,
     untouched; query results are identical with fewer, fuller blocks.
 
     A deployment runs this on a cadence (every N stream batches / when a
-    shard's manifest shows segment count above a threshold)."""
-    blocks = spark.read.parquet(paths.postings)
-    if shards is not None:
-        blocks = blocks.filter(F.col("shard").isin([int(s) for s in shards]))
-    new_blocks = build_postings(decoded_term_rows(blocks)).localCheckpoint(
-        eager=True  # lineage reads paths.postings, about to be overwritten
+    shard's manifest shows segment count above a threshold).
+
+    The rewrite itself is ``rebuild_shard_postings`` (decode → re-block →
+    dynamic overwrite → snapshot manifest rows, docs join dropping any
+    orphans), guarded by the maintenance intent marker: a crash between
+    the postings overwrite and the manifest snapshot would otherwise
+    leave the shard's counters stale with no record that a rewrite
+    happened — the surviving marker repairs it on the next entry."""
+    from document_retrieval_system_spark.operators.index_build import (
+        maintenance_intent_path,
+        rebuild_shard_postings,
+        repair_maintenance,
+        write_maintenance_intent,
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            new_blocks.repartition("shard")
-            .sortWithinPartitions("term", "block_no")
-            .write.partitionBy("shard").mode("overwrite").parquet(paths.postings)
+
+    repair_maintenance(spark, paths)
+    if shards is None:
+        shards = sorted(
+            r["shard"]
+            for r in _read_postings_or_empty(spark, paths)
+            .select("shard").distinct().collect()
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # snapshot event: full post-compaction totals per shard (no docs were
-    # parsed — docs columns stay NULL and add nothing to parse lineage)
-    (
-        block_counter_agg(new_blocks)
-        .withColumn("docs_parsed", F.lit(None).cast("long"))
-        .withColumn("docs_indexed", F.lit(None).cast("long"))
-        .withColumn("status", F.lit("compaction"))
-        .withColumn("kind", F.lit("snapshot"))
-        .withColumn("committed_at", F.current_timestamp())
-        .select(*MANIFEST_COLS)
-        .coalesce(1).write.mode("append").parquet(paths.manifest)
-    )
+    if not shards:
+        return
+    write_maintenance_intent(spark, paths, "compaction", list(shards))
+    rebuild_shard_postings(spark, paths, list(shards), status="compaction")
+    fs_delete(spark, maintenance_intent_path(paths))
 
 
 def run_incremental(spark: SparkSession, incoming_dir: str, index_dir: str,
@@ -354,6 +352,12 @@ def run_incremental(spark: SparkSession, incoming_dir: str, index_dir: str,
     then refresh global stats.  Long-running deployments drop
     availableNow and leave the stream up."""
     paths = IndexPaths(index_dir)
+    from document_retrieval_system_spark.operators.index_build import (
+        repair_maintenance,
+    )
+
+    if fs_exists(spark, paths.docs):
+        repair_maintenance(spark, paths)
     stream = (
         spark.readStream.schema(PAGES_DDL).parquet(incoming_dir)
     )

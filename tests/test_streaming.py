@@ -551,3 +551,128 @@ def test_manifest_stats_full_lifecycle(spark):
         check(44, "after delete")
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+def test_delete_crash_before_postings_rebuild_repairs(spark, monkeypatch):
+    """A delete that dies between the docs overwrite and the postings
+    rebuild leaves orphaned postings + a surviving intent marker; the
+    next maintenance entry point must repair the shards (orphans dropped,
+    snapshot manifest rows written) before doing anything else."""
+    from document_retrieval_system_spark.operators import index_build as ib
+    from document_retrieval_system_spark.operators.index_build import (
+        IndexPaths,
+        finalize_index,
+        fs_exists,
+        maintenance_intent_path,
+    )
+    from document_retrieval_system_spark.sources.tables import (
+        delete_documents,
+        index_statistics,
+    )
+
+    idx = tempfile.mkdtemp(prefix="drs_delcrash_idx_")
+    try:
+        base = gen_pages_pandas(40)
+        build_index(spark, spark.createDataFrame(base, PAGES_DDL), idx,
+                    n_shards=2)
+        paths = IndexPaths(idx)
+        victims = list(base["url"][:3])
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected crash before postings rebuild")
+
+        real = ib.rebuild_shard_postings
+        monkeypatch.setattr(ib, "rebuild_shard_postings", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            delete_documents(spark, idx, victims)
+        monkeypatch.setattr(ib, "rebuild_shard_postings", real)
+
+        # crash window state: marker survives, postings orphaned
+        assert fs_exists(spark, maintenance_intent_path(paths))
+        r = IndexReader(spark, idx)
+        from document_retrieval_system_spark.operators.index_build import (
+            decoded_term_rows,
+        )
+
+        orphans = (
+            decoded_term_rows(r.postings())
+            .join(r.docs().select("shard", "local_no"),
+                  ["shard", "local_no"], "left_anti").count()
+        )
+        assert orphans > 0, "crash window should leave orphaned postings"
+
+        # next maintenance entry repairs first: a retried delete of the
+        # SAME urls is the natural caller path
+        delete_documents(spark, idx, victims)
+        assert not fs_exists(spark, maintenance_intent_path(paths))
+        finalize_index(spark, paths)
+        r = IndexReader(spark, idx)
+        assert (
+            decoded_term_rows(r.postings())
+            .join(r.docs().select("shard", "local_no"),
+                  ["shard", "local_no"], "left_anti").count() == 0
+        )
+        remaining = {x["url"] for x in r.docs().select("url").collect()}
+        assert remaining.isdisjoint(set(victims))
+        stats = index_statistics(r)
+        truth = r.postings().agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
+        assert stats["postings"] == truth
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_compaction_crash_before_manifest_snapshot_repairs(spark, monkeypatch):
+    """A compaction that dies after the postings overwrite but before its
+    manifest snapshot leaves counters stale with no record of the
+    rewrite; the surviving marker must repair on the next compaction."""
+    from document_retrieval_system_spark.operators import index_build as ib
+    from document_retrieval_system_spark.operators.index_build import (
+        IndexPaths,
+        finalize_index,
+        fs_exists,
+        maintenance_intent_path,
+    )
+    from document_retrieval_system_spark.sources.tables import index_statistics
+    from document_retrieval_system_spark.streaming import incremental as inc
+    from document_retrieval_system_spark.streaming.incremental import (
+        compact_shards,
+    )
+
+    idx = tempfile.mkdtemp(prefix="drs_cmpcrash_idx_")
+    try:
+        build_index(
+            spark,
+            spark.createDataFrame(gen_pages_pandas(30), PAGES_DDL),
+            idx, n_shards=2,
+        )
+        paths = IndexPaths(idx)
+        # delta segments so compaction has something to merge
+        inc._append_batch(
+            spark,
+            spark.createDataFrame(gen_pages_pandas(10, start=30), PAGES_DDL),
+            0, paths, 2,
+        )
+
+        calls = {"n": 0}
+
+        def boom():
+            calls["n"] += 1
+            raise RuntimeError("injected crash before manifest snapshot")
+
+        monkeypatch.setattr(ib, "_AFTER_POSTINGS_REWRITE_HOOK", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            compact_shards(spark, paths)
+        monkeypatch.setattr(ib, "_AFTER_POSTINGS_REWRITE_HOOK", None)
+        assert calls["n"] == 1
+        assert fs_exists(spark, maintenance_intent_path(paths))
+
+        compact_shards(spark, paths)  # repairs, then compacts
+        assert not fs_exists(spark, maintenance_intent_path(paths))
+        finalize_index(spark, paths)
+        r = IndexReader(spark, idx)
+        stats = index_statistics(r)
+        truth = r.postings().agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
+        assert stats["postings"] == truth
+        assert stats["blocks"] == r.postings().count()
+        assert stats["docs_parsed"] == 40
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
