@@ -56,6 +56,19 @@ from document_retrieval_system_spark.operators.codec import (
     vb_encode,
 )
 
+class ListAccumulatorParam:
+    """AccumulatorParam for list-append accumulators (per-partition
+    timing records).  Lives in the package (not a tools/ script) so
+    executors can unpickle it."""
+
+    def zero(self, v):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
 POSTINGS_SCHEMA = (
     "shard int, term string, block_no int, n int, first_doc long, last_doc long, "
     "df_local int, cf_local long, max_tf int, min_dl int, "
@@ -190,7 +203,7 @@ def _blocks_from_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def build_postings(term_rows: DataFrame) -> DataFrame:
+def build_postings(term_rows: DataFrame, timing_acc=None) -> DataFrame:
     """Shuffle by (shard, term), sort runs, build blocks batch-at-a-time.
 
     Group contiguity is guaranteed by hash repartitioning on the full
@@ -199,14 +212,27 @@ def build_postings(term_rows: DataFrame) -> DataFrame:
     group of each batch.  (A groupBy().applyInPandas here costs one
     pandas frame per (shard, term) — ~80k tiny groups on the test corpus
     — and measured ~2.5x slower than this batched form.)
+
+    The (shard, term) key is the term-skew design claim (SURVEY.md §2.7):
+    a heavy term's rows hash across every shard, so no reducer ever holds
+    more of it than one shard's share.  ``timing_acc`` (a list
+    accumulator) records (partition_id, elapsed_sec, rows) per partition
+    of this stage so a soak test can assert the straggler bound.
     """
     src = term_rows.repartition("shard", "term").sortWithinPartitions(
         "shard", "term", "local_no"
     )
 
     def build(batches):
+        import time
+
+        from pyspark import TaskContext
+
+        t_start = time.perf_counter()
+        n_rows = 0
         carry: pd.DataFrame | None = None
         for pdf in batches:
+            n_rows += len(pdf)
             if carry is not None and len(carry):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
@@ -224,6 +250,13 @@ def build_postings(term_rows: DataFrame) -> DataFrame:
                 yield _blocks_from_sorted(body)
         if carry is not None and len(carry):
             yield _blocks_from_sorted(carry)
+        if timing_acc is not None:
+            ctx = TaskContext.get()
+            timing_acc.add([(
+                ctx.partitionId() if ctx is not None else -1,
+                time.perf_counter() - t_start,
+                n_rows,
+            )])
 
     return src.mapInPandas(build, POSTINGS_SCHEMA)
 
