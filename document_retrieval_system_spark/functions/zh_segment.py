@@ -1,57 +1,64 @@
-"""Deterministic Chinese word segmentation (jieba stand-in).
+"""Deterministic Chinese word segmentation — jieba's actual algorithm.
 
 The reference segments Chinese with ``jieba.lcut``
-(/root/reference/core/utils/text_processor.py:148).  jieba is not
-installed in this environment and its HMM path is data-dependent, so we
-implement a deterministic **forward maximum-matching** segmenter over an
-embedded dictionary.  Properties that matter for the engine:
+(/root/reference/core/utils/text_processor.py:148).  r1-r3 shipped a
+forward-maximum-matching stand-in; this is the real, published jieba
+algorithm (MIT license, github.com/fxsjy/jieba) reimplemented from its
+public description/source:
 
-- fully deterministic (no model files, no global state, no parallel mode);
-- identical between the single-process oracle and the Arrow UDFs;
-- covers the vocabulary used by the synthetic web corpus and the reference
-  query set ("人工智能 大数据 机器学习", rule boost/domain words, …).
+1. **prefix dictionary**: every word maps to a frequency; every proper
+   prefix of a word is present with frequency 0 (trie marker);
+2. **DAG**: for each position k, the list of end positions i such that
+   sentence[k:i+1] is a dictionary word (``get_DAG``);
+3. **max-probability route**: right-to-left DP maximizing
+   sum(log(freq(w)) - log(total)) over the segmentation; ties break to
+   the LONGER word (the (score, end) tuple max);
+4. **HMM OOV step** (``finalseg``): consecutive unigram fragments are
+   buffered and re-segmented by a BMES Viterbi over trained
+   start/transition/emission tables.
 
-If a compatible ``jieba`` is importable it is used instead (gated import),
-restoring byte-parity with the reference on real jieba output.
+Backends:
+- **jieba importable** (gated): its own dict (FREQ/total) and finalseg
+  tables are loaded, so ``dag_cut`` reproduces ``jieba.lcut``
+  token-for-token — the parity test asserts EXACT equality; ``zh_cut``
+  delegates to jieba itself for reference byte-parity.
+- **sandbox** (no jieba): an embedded dictionary (reference query/rule
+  vocabulary + corpus/tech words + common web Chinese) with rank-flat
+  frequencies drives the same DAG+DP; the HMM step is disabled because
+  its trained emission tables ship with jieba — OOV runs then follow
+  jieba's published NO-HMM buffering (latin runs merged, CJK unigrams
+  emitted singly), which is ``jieba.lcut(text, HMM=False)`` semantics
+  and is itself pinned exactly by a second gated test.
 """
 
 from __future__ import annotations
 
 import re
+from functools import lru_cache
+from math import log
 
-# Embedded dictionary: reference query/rule vocabulary + common web/IR/tech
-# words used by the synthetic corpus generator. Forward max-match prefers
-# the longest dictionary word at each position.
-ZH_DICT = frozenset({
-    # reference benchmark queries (main.py:27,205) and rule words
-    # (config/rules_config.yaml:12-36)
-    "人工智能", "大数据", "机器学习", "深度学习", "重要", "关键", "核心",
-    "紧急", "立即", "算法", "框架", "架构", "代码", "开发", "方案",
-    "规划", "战略", "市场", "客户", "广告", "赞助内容", "赞助",
-    # corpus/tech vocabulary
-    "搜索", "引擎", "索引", "倒排", "文档", "查询", "检索", "排序",
-    "分布式", "计算", "系统", "数据", "数据库", "模型", "训练",
-    "神经网络", "神经", "网络", "自然语言", "语言", "处理", "信息",
-    "技术", "应用", "平台", "服务", "用户", "分析", "存储", "压缩",
-    "性能", "优化", "集群", "节点", "内存", "磁盘", "网页", "爬虫",
-    "内容", "标题", "段落", "链接", "图片", "视频", "音频", "评论",
-    "新闻", "科技", "互联网", "公司", "产品", "研究", "论文", "实验",
-    "结果", "方法", "问题", "解决", "提升", "支持", "实现", "功能",
-    "版本", "发布", "更新", "安全", "测试", "部署", "监控", "日志",
-    "向量", "空间", "权重", "频率", "位置", "词项", "相似", "相似度",
-    "精确", "召回", "评估", "指标", "效果", "质量", "速度", "吞吐",
-    "并行", "任务", "调度", "资源", "管理", "工具", "开源", "社区",
-    "学习", "智能", "机器", "人工",
-})
+# ---------------------------------------------------------------------------
+# Embedded dictionary (sandbox backend)
+# ---------------------------------------------------------------------------
 
-# General high-frequency vocabulary (public word-frequency knowledge:
-# the same everyday compounds that dominate jieba's dict.txt top ranks /
-# HSK lists).  FMM agrees with jieba exactly where the dictionary covers
-# the compounds a text uses, so widening coverage from the corpus-only
-# vocabulary to common web Chinese directly raises boundary parity on
-# out-of-corpus text; the gated parity test below measures it whenever a
-# real jieba is importable.
-_COMMON_WORDS = frozenset("""
+# reference benchmark queries (main.py:27,205), rule words
+# (config/rules_config.yaml:12-36), corpus/tech vocabulary
+_DOMAIN_WORDS = """
+人工智能 大数据 机器学习 深度学习 重要 关键 核心 紧急 立即 算法 框架
+架构 代码 开发 方案 规划 战略 市场 客户 广告 赞助内容 赞助
+搜索 引擎 索引 倒排 文档 查询 检索 排序 分布式 计算 系统 数据 数据库
+模型 训练 神经网络 神经 网络 自然语言 语言 处理 信息 技术 应用 平台
+服务 用户 分析 存储 压缩 性能 优化 集群 节点 内存 磁盘 网页 爬虫
+内容 标题 段落 链接 图片 视频 音频 评论 新闻 科技 互联网 公司 产品
+研究 论文 实验 结果 方法 问题 解决 提升 支持 实现 功能 版本 发布
+更新 安全 测试 部署 监控 日志 向量 空间 权重 频率 位置 词项 相似
+相似度 精确 召回 评估 指标 效果 质量 速度 吞吐 并行 任务 调度 资源
+管理 工具 开源 社区 学习 智能 机器 人工
+""".split()
+
+# general high-frequency vocabulary (public word-frequency knowledge: the
+# everyday compounds that dominate jieba's dict.txt top ranks / HSK lists)
+_COMMON_WORDS = """
 我们 你们 他们 她们 它们 自己 大家 这个 那个 这些 那些 这里 那里 什么
 怎么 为什么 时候 现在 今天 明天 昨天 今年 去年 明年 已经 还是 就是
 但是 因为 所以 如果 虽然 然后 而且 或者 以及 通过 对于 关于 根据
@@ -80,82 +87,261 @@ _COMMON_WORDS = frozenset("""
 满意 失望 惊讶 生气 紧张 轻松 舒服 痛苦 幸福 快乐 悲伤 孤独 温暖
 寒冷 炎热 凉爽 美丽 漂亮 干净 整洁 安静 热闹 方便 困扰 安全 危险
 重要性 可能性 必要性 积极性 创造性 多样性 稳定性 灵活性
-""".split())
+""".split()
 
-ZH_DICT = ZH_DICT | _COMMON_WORDS
-_MAX_WORD_LEN = max(len(w) for w in ZH_DICT)
+ZH_DICT = frozenset(_DOMAIN_WORDS) | frozenset(_COMMON_WORDS)
+
+
+def _build_freq(words_freqs) -> tuple[dict[str, int], int]:
+    """Prefix dictionary: word -> freq, every proper prefix present with
+    freq 0 (jieba's gen_pfdict)."""
+    freq: dict[str, int] = {}
+    total = 0
+    for w, f in words_freqs:
+        freq[w] = freq.get(w, 0) + f
+        total += f
+        for i in range(1, len(w)):
+            freq.setdefault(w[:i], 0)
+    return freq, total
+
+
+# rank-flat synthetic frequencies: with equal per-word mass the DP
+# prefers fewer (longer) words, and common function compounds outrank
+# domain terms — enough for deterministic, dictionary-faithful cuts;
+# jieba's real counts load instead whenever jieba is importable
+_EMBEDDED_FREQ, _EMBEDDED_TOTAL = _build_freq(
+    [(w, 5000) for w in _COMMON_WORDS] + [(w, 2000) for w in _DOMAIN_WORDS]
+)
+
+# ---------------------------------------------------------------------------
+# Backend selection
+# ---------------------------------------------------------------------------
 
 try:  # optional byte-parity path when jieba exists
     import jieba as _jieba  # type: ignore
 
     _jieba.setLogLevel(60)
+    _jieba.dt.check_initialized()
+    _FREQ: dict[str, int] = _jieba.dt.FREQ
+    _TOTAL: float = float(_jieba.dt.total)
+    from jieba.finalseg import (  # type: ignore
+        prob_emit as _EMIT_P,
+        prob_start as _START_P,
+        prob_trans as _TRANS_P,
+    )
+
     _HAVE_JIEBA = True
 except Exception:  # pragma: no cover - jieba absent in this environment
     _jieba = None
+    _FREQ, _TOTAL = _EMBEDDED_FREQ, float(_EMBEDDED_TOTAL)
+    _START_P = _TRANS_P = _EMIT_P = None
     _HAVE_JIEBA = False
 
+_HAVE_HMM_TABLES = _EMIT_P is not None
 
-from functools import lru_cache
+# ---------------------------------------------------------------------------
+# finalseg: BMES Viterbi over OOV fragments (jieba/finalseg/__init__.py)
+# ---------------------------------------------------------------------------
+
+_MIN_FLOAT = -3.14e100
+_PREV_STATUS = {"B": "ES", "M": "MB", "S": "SE", "E": "BM"}
+_FS_HAN_RE = re.compile(r"([一-龥]+)")
+_FS_SKIP_RE = re.compile(r"([a-zA-Z0-9]+(?:\.\d+)?%?)")
+
+
+def _viterbi(obs: str):
+    v = [{}]
+    path: dict[str, list[str]] = {}
+    for y in "BMES":
+        v[0][y] = _START_P[y] + _EMIT_P[y].get(obs[0], _MIN_FLOAT)
+        path[y] = [y]
+    for t in range(1, len(obs)):
+        v.append({})
+        newpath: dict[str, list[str]] = {}
+        for y in "BMES":
+            em_p = _EMIT_P[y].get(obs[t], _MIN_FLOAT)
+            prob, state = max(
+                (v[t - 1][y0] + _TRANS_P[y0].get(y, _MIN_FLOAT) + em_p, y0)
+                for y0 in _PREV_STATUS[y]
+            )
+            v[t][y] = prob
+            newpath[y] = path[state] + [y]
+        path = newpath
+    _prob, state = max((v[len(obs) - 1][y], y) for y in "ES")
+    return path[state]
+
+
+def _finalseg_cut_han(sentence: str):
+    pos_list = _viterbi(sentence)
+    begin, nexti = 0, 0
+    for i, char in enumerate(sentence):
+        pos = pos_list[i]
+        if pos == "B":
+            begin = i
+        elif pos == "E":
+            yield sentence[begin : i + 1]
+            nexti = i + 1
+        elif pos == "S":
+            yield char
+            nexti = i + 1
+    if nexti < len(sentence):
+        yield sentence[nexti:]
+
+
+def _finalseg_cut(sentence: str):
+    for blk in _FS_HAN_RE.split(sentence):
+        if _FS_HAN_RE.match(blk):
+            yield from _finalseg_cut_han(blk)
+        else:
+            for x in _FS_SKIP_RE.split(blk):
+                if x:
+                    yield x
+
+
+# ---------------------------------------------------------------------------
+# DAG + max-probability route (jieba/__init__.py get_DAG / calc / __cut_DAG)
+# ---------------------------------------------------------------------------
+
+
+def _get_dag(sentence: str) -> dict[int, list[int]]:
+    dag: dict[int, list[int]] = {}
+    n = len(sentence)
+    freq = _FREQ
+    for k in range(n):
+        tmplist: list[int] = []
+        i = k
+        frag = sentence[k]
+        while i < n and frag in freq:
+            if freq[frag]:
+                tmplist.append(i)
+            i += 1
+            frag = sentence[k : i + 1]
+        if not tmplist:
+            tmplist.append(k)
+        dag[k] = tmplist
+    return dag
+
+
+def _calc_route(sentence: str, dag: dict[int, list[int]]) -> dict[int, tuple]:
+    n = len(sentence)
+    route: dict[int, tuple] = {n: (0, 0)}
+    logtotal = log(_TOTAL)
+    freq = _FREQ
+    for idx in range(n - 1, -1, -1):
+        # tie-break: the (score, end) tuple max prefers the LONGER word
+        route[idx] = max(
+            (
+                log(freq.get(sentence[idx : x + 1]) or 1)
+                - logtotal
+                + route[x + 1][0],
+                x,
+            )
+            for x in dag[idx]
+        )
+    return route
+
+
+_ENG_RE = re.compile("[a-zA-Z0-9]")
+
+
+def _cut_dag_hmm(sentence: str):
+    dag = _get_dag(sentence)
+    route = _calc_route(sentence, dag)
+    x = 0
+    buf = ""
+    n = len(sentence)
+    while x < n:
+        y = route[x][1] + 1
+        l_word = sentence[x:y]
+        if y - x == 1:
+            buf += l_word
+        else:
+            if buf:
+                if len(buf) == 1:
+                    yield buf
+                elif not _FREQ.get(buf):
+                    yield from _finalseg_cut(buf)
+                else:
+                    yield from buf
+                buf = ""
+            yield l_word
+        x = y
+    if buf:
+        if len(buf) == 1:
+            yield buf
+        elif not _FREQ.get(buf):
+            yield from _finalseg_cut(buf)
+        else:
+            yield from buf
+
+
+def _cut_dag_no_hmm(sentence: str):
+    dag = _get_dag(sentence)
+    route = _calc_route(sentence, dag)
+    x = 0
+    buf = ""
+    n = len(sentence)
+    while x < n:
+        y = route[x][1] + 1
+        l_word = sentence[x:y]
+        if _ENG_RE.match(l_word) and len(l_word) == 1:
+            buf += l_word
+            x = y
+        else:
+            if buf:
+                yield buf
+                buf = ""
+            yield l_word
+            x = y
+    if buf:
+        yield buf
+
+
+# block splitting (jieba.cut): han blocks (incl. latin/digits/+#&._%-)
+# go through the DAG; other blocks split on whitespace, non-space
+# non-han chars yielded singly
+_HAN_RE = re.compile(r"([一-鿕a-zA-Z0-9+#&\._%\-]+)")
+_SKIP_RE = re.compile(r"(\r\n|\s)")
 
 
 @lru_cache(maxsize=1 << 16)
-def _fmm_cached(chunk: str) -> tuple[str, ...]:
-    return tuple(_fmm_raw(chunk))
+def _cut_block_cached(blk: str, hmm: bool) -> tuple[str, ...]:
+    if hmm:
+        return tuple(_cut_dag_hmm(blk))
+    return tuple(_cut_dag_no_hmm(blk))
 
 
-def _fmm_raw(chunk: str) -> list[str]:
-    """Forward maximum matching over one CJK run."""
+def dag_cut(text: str, hmm: bool | None = None) -> list[str]:
+    """jieba's cut algorithm over the active dictionary backend.
+
+    ``hmm=None`` (default) enables the HMM OOV step exactly when trained
+    tables are available (i.e. jieba importable); forcing ``hmm=True``
+    without tables raises."""
+    if hmm is None:
+        hmm = _HAVE_HMM_TABLES
+    elif hmm and not _HAVE_HMM_TABLES:
+        raise RuntimeError("HMM tables unavailable (jieba not importable)")
     out: list[str] = []
-    i = 0
-    n = len(chunk)
-    while i < n:
-        matched = None
-        for L in range(min(_MAX_WORD_LEN, n - i), 1, -1):
-            cand = chunk[i : i + L]
-            if cand in ZH_DICT:
-                matched = cand
-                break
-        if matched is None:
-            matched = chunk[i]
-        out.append(matched)
-        i += len(matched)
+    for blk in _HAN_RE.split(text):
+        if not blk:
+            continue
+        if _HAN_RE.match(blk):
+            out.extend(_cut_block_cached(blk, hmm))
+        else:
+            for x in _SKIP_RE.split(blk):
+                if _SKIP_RE.match(x):
+                    out.append(x)
+                else:
+                    out.extend(x)
     return out
 
 
 def zh_cut(text: str) -> list[str]:
-    """Segment mixed ZH/latin text.
-
-    Mirrors ``jieba.lcut`` contract loosely: CJK runs are segmented,
-    non-CJK runs (latin words already space-separated by clean_text) are
-    kept whole; whitespace produces no tokens.
-    """
+    """Analyzer entry point.  With jieba importable, delegate to
+    ``jieba.lcut`` itself for reference byte-parity (dag_cut reproduces
+    it exactly — the gated parity test asserts so); otherwise run the
+    same algorithm over the embedded dictionary (HMM off: no trained
+    tables in the sandbox)."""
     if _HAVE_JIEBA:
         return _jieba.lcut(text)
-    return fmm_cut(text)
-
-
-# maximal CJK runs | maximal non-CJK non-space runs, in document order —
-# the C-level regex scan replaces a per-character Python loop that was
-# >50% of analyzer time (equivalence with the char loop differentially
-# fuzz-tested incl. every codepoint where isspace() could diverge from \s)
-_RUN_RE = re.compile(r"[一-鿿]+|[^一-鿿\s]+")
-
-
-def fmm_cut(text: str) -> list[str]:
-    """The FMM stand-in itself, callable regardless of jieba — the gated
-    parity test measures THIS against jieba.lcut (zh_cut would compare
-    jieba with itself when jieba is importable)."""
-    tokens: list[str] = []
-    extend, append, cached = tokens.extend, tokens.append, _fmm_cached
-    for m in _RUN_RE.finditer(text):
-        run = m.group()
-        if "一" <= run[0] <= "鿿":
-            # extend straight from the memo tuple; only long runs pay
-            # the uncached FMM scan
-            if len(run) <= 24:
-                extend(cached(run))
-            else:
-                extend(_fmm_raw(run))
-        else:
-            append(run)
-    return tokens
+    return dag_cut(text, hmm=False)

@@ -1,15 +1,17 @@
 """jieba-parity evidence (gated): when a real ``jieba`` is importable,
-``zh_cut`` must equal ``jieba.lcut`` exactly — on the reference query
-vocabulary, the rule-config words, and a sampled synthetic corpus — so
-the FMM stand-in's divergence is measured, never assumed.  In sandboxes
-without jieba the module tests below still pin the stand-in's own
-contract (determinism, dictionary-word segmentation)."""
+our ``dag_cut`` (the reimplemented prefix-dict DAG + max-probability
+route + BMES-Viterbi OOV step, running over jieba's OWN dictionary and
+finalseg tables) must equal ``jieba.lcut`` EXACTLY, token for token —
+with and without HMM — so the algorithm itself is verified, never
+approximated.  In sandboxes without jieba the module tests below pin
+the embedded-dictionary backend's contract (determinism, DP
+segmentation preferring dictionary compounds, OOV unigrams)."""
 
 import pytest
 
 from document_retrieval_system_spark.functions.zh_segment import (
     _HAVE_JIEBA,
-    fmm_cut,
+    dag_cut,
     zh_cut,
 )
 from document_retrieval_system_spark.operators.rules import DEFAULT_RULES
@@ -31,60 +33,68 @@ _VOCAB = (
 )
 
 
-def _boundaries(tokens: list[str]) -> set[int]:
-    """Cumulative cut positions — the token-boundary set of a segmentation."""
-    out, pos = set(), 0
-    for t in tokens:
-        pos += len(t)
-        out.add(pos)
-    return out
-
-
-def _boundary_parity(texts: list[str], cut_a, cut_b) -> float:
-    """Jaccard agreement of token boundaries across a text sample."""
-    inter = union = 0
-    for text in texts:
-        a, b = _boundaries(cut_a(text)), _boundaries(cut_b(text))
-        inter += len(a & b)
-        union += len(a | b)
-    return inter / union if union else 1.0
-
-
-@pytest.mark.skipif(not _HAVE_JIEBA, reason="jieba not installed in this env")
-def test_zh_cut_matches_jieba_on_reference_vocabulary():
-    import jieba
-
-    for text in _VOCAB:
-        assert fmm_cut(text) == jieba.lcut(text), text
-
-
-@pytest.mark.skipif(not _HAVE_JIEBA, reason="jieba not installed in this env")
-def test_zh_cut_boundary_parity_on_sampled_corpus():
-    """Measured (never assumed) parity: >=99% token-boundary agreement on
-    the embedded corpus sample, reported as a percentage so the residual
-    divergence is visible, not binary."""
-    import jieba
-
+def _corpus_texts() -> list[str]:
     texts = []
     for i in range(0, 200, 7):
         url, _ts, html, lang = gen_page(i)
         if lang != "zh":
             continue
         texts.append(extract_html(html, url)["content"])
-    parity = _boundary_parity(texts, fmm_cut, jieba.lcut)
-    print(f"jieba boundary parity on corpus sample: {parity:.4%}")
-    assert parity >= 0.99, f"boundary parity {parity:.4%} below 99%"
+    return texts
 
 
-def test_fmm_standin_contract_without_jieba():
+@pytest.mark.skipif(not _HAVE_JIEBA, reason="jieba not installed in this env")
+def test_dag_cut_matches_jieba_lcut_exactly():
+    """The reimplemented algorithm over jieba's own dict + finalseg
+    tables must reproduce jieba.lcut token-for-token (HMM on — the
+    reference's default path, text_processor.py:148)."""
+    import jieba
+
+    for text in _VOCAB + _corpus_texts():
+        assert dag_cut(text, hmm=True) == jieba.lcut(text), text
+
+
+@pytest.mark.skipif(not _HAVE_JIEBA, reason="jieba not installed in this env")
+def test_dag_cut_matches_jieba_lcut_no_hmm_exactly():
+    """The NO-HMM variant (the sandbox fallback's buffering semantics)
+    must equal jieba.lcut(HMM=False) token-for-token."""
+    import jieba
+
+    for text in _VOCAB + _corpus_texts():
+        assert dag_cut(text, hmm=False) == jieba.lcut(text, HMM=False), text
+
+
+def test_dag_backend_contract_without_jieba():
     """Deterministic and dictionary-faithful regardless of jieba: the
-    stand-in's segmentation of in-dictionary compounds is stable, so
-    every downstream score is reproducible in this sandbox."""
+    DP segmentation of in-dictionary compounds is stable, so every
+    downstream score is reproducible in this sandbox."""
     a = zh_cut("人工智能和机器学习的搜索引擎")
     assert a == zh_cut("人工智能和机器学习的搜索引擎")
     assert "人工智能" in a or ("人工" in a and "智能" in a)
     # single out-of-vocab CJK chars pass through as unigrams
     assert zh_cut("鑫") == ["鑫"]
+
+
+def test_dag_route_prefers_max_probability_segmentation():
+    """The DP must pick the max-probability route, not greedy longest
+    match: dictionary compounds win over unigram chains, and the whole
+    compound beats its sub-words when both are in the dictionary."""
+    toks = dag_cut("人工智能", hmm=False)
+    assert toks == ["人工智能"], toks  # not 人工+智能 (both also in dict)
+    toks = dag_cut("数据库系统", hmm=False)
+    assert toks == ["数据库", "系统"], toks
+    # OOV chars segment as unigrams around dictionary words
+    toks = dag_cut("鑫数据鑫", hmm=False)
+    assert toks == ["鑫", "数据", "鑫"], toks
+
+
+def test_dag_cut_latin_and_whitespace_blocks():
+    """jieba.cut block semantics: latin/digit runs stay whole inside han
+    blocks, whitespace yields separate space tokens (the analyzer's
+    min-length filter drops them downstream)."""
+    assert dag_cut("abc数据", hmm=False) == ["abc", "数据"]
+    toks = dag_cut("数据 abc", hmm=False)
+    assert toks == ["数据", " ", "abc"], toks
 
 
 def test_extract_keywords_semantics(spark):
