@@ -3,12 +3,13 @@
 Media are opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` stages.  Decode is REAL for the formats the
 standard library can parse — uncompressed BMP (24/32-bit BI_RGB), binary
-PPM/PGM, and PCM WAV (8/16-bit, via ``wave``) — with byte-level
-round-trip tests against the fixture writers below.  Compressed codecs
-(JPEG/PNG/MP4) have no library in this container, so payloads that
-aren't a stdlib-parseable format fall back to a clearly-marked
-deterministic STUB (``decoded = false`` in the feature output); swap the
-fallback for PIL/ffmpeg in production — nothing else changes.
+PPM/PGM, **PNG** (zlib IDAT, filters 0-4, 8-bit gray/RGB/palette/
+gray+alpha/RGBA, non-interlaced), and PCM WAV (8/16-bit, via ``wave``) —
+with byte-level round-trip tests against the fixture writers below.
+JPEG/MP4 have no stdlib codec in this container, so payloads that aren't
+a stdlib-parseable format fall back to a clearly-marked deterministic
+STUB (``decoded = false`` in the feature output); swap the fallback for
+PIL/ffmpeg in production — nothing else changes.
 
 Schema:
     media(media_id long, url string, kind string,      -- image|audio|video
@@ -129,6 +130,182 @@ def make_ppm(rgb: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type: 0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> None:
+    """In-place Paeth unfilter (sequential by definition: each byte's
+    predictor uses the already-reconstructed left neighbor)."""
+    n = cur.size
+    for i in range(n):
+        a = int(cur[i - bpp]) if i >= bpp else 0
+        b = int(prev[i])
+        c = int(prev[i - bpp]) if i >= bpp else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            pred = a
+        elif pb <= pc:
+            pred = b
+        else:
+            pred = c
+        cur[i] = (int(cur[i]) + pred) & 0xFF
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """Pure-stdlib PNG decoder (zlib IDAT, filters 0-4), 8-bit
+    gray / RGB / palette / gray+alpha / RGBA, non-interlaced.
+
+    Returns (h, w) uint8 for grayscale (alpha dropped), (h, w, 3) for
+    RGB/palette/RGBA (alpha dropped); None for anything out of subset
+    (16-bit, Adam7 interlace, bad CRC, truncated stream)."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) != length or pos + 12 + length > len(payload):
+                return None
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                return None
+            pos += 12 + length
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color_type, comp, filt, interlace = ihdr
+        if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
+                or color_type not in _PNG_CHANNELS or w <= 0 or h <= 0):
+            return None
+        nch = _PNG_CHANNELS[color_type]
+        stride = w * nch
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != (stride + 1) * h:
+            return None
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            ftype = raw[y * (stride + 1)]
+            cur = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            ).copy()
+            if ftype == 0:
+                pass
+            elif ftype == 1:  # Sub
+                for i in range(nch, stride):
+                    cur[i] = (int(cur[i]) + int(cur[i - nch])) & 0xFF
+            elif ftype == 2:  # Up
+                cur = (cur.astype(np.int16) + prev).astype(np.uint8)
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = int(cur[i - nch]) if i >= nch else 0
+                    cur[i] = (int(cur[i]) + (a + int(prev[i])) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                _paeth_row(cur, prev, nch)
+            else:
+                return None
+            out[y] = cur
+            prev = out[y]
+        px = out.reshape(h, w, nch)
+        if color_type == 0:
+            return px[:, :, 0]
+        if color_type == 2:
+            return px
+        if color_type == 3:
+            if plte is None or int(px.max()) >= len(plte):
+                return None
+            return plte[px[:, :, 0]]
+        if color_type == 4:
+            return px[:, :, 0]  # gray, alpha dropped
+        return px[:, :, :3]  # RGBA -> RGB, alpha dropped
+    except Exception:
+        return None
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def make_png(img: np.ndarray, filters=0) -> bytes:
+    """uint8 image -> PNG: (h, w) gray, (h, w, 3) RGB, (h, w, 4) RGBA.
+
+    ``filters``: per-row filter type (int) or a list cycled over rows —
+    tests exercise every unfilter path (0 none / 1 sub / 2 up /
+    3 average / 4 paeth) through the same writer."""
+    import zlib
+
+    if img.ndim == 2:
+        color_type, nch = 0, 1
+        px = img[:, :, None]
+    elif img.shape[2] == 3:
+        color_type, nch = 2, 3
+        px = img
+    else:
+        color_type, nch = 6, 4
+        px = img
+    h, w = px.shape[:2]
+    stride = w * nch
+    flat = px.reshape(h, stride).astype(np.uint8)
+    if isinstance(filters, int):
+        filters = [filters]
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ftype = filters[y % len(filters)]
+        cur = flat[y].astype(np.int16)
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            left = np.zeros(stride, dtype=np.int16)
+            left[nch:] = cur[:-nch]
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - prev
+        elif ftype == 3:
+            left = np.zeros(stride, dtype=np.int16)
+            left[nch:] = cur[:-nch]
+            enc = cur - (left + prev) // 2
+        elif ftype == 4:
+            enc = np.empty(stride, dtype=np.int16)
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = cur[i] - pred
+        else:
+            raise ValueError(f"unsupported filter {ftype}")
+        raw.append(ftype)
+        raw += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
     """PCM WAV -> (float32 samples in [-1, 1] of the first channel,
     sample_rate); None for non-PCM / out-of-subset files."""
@@ -197,13 +374,17 @@ def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 def decode_media(payload: bytes) -> np.ndarray | None:
     """Magic-byte dispatch to the real decoders; None if no stdlib
-    decoder applies (JPEG/PNG/MP4 — production swaps in PIL/ffmpeg)."""
+    decoder applies (JPEG/MP4 — production swaps in PIL/ffmpeg)."""
     if payload[:2] == b"BM":
         img = decode_bmp(payload)
         if img is not None:
             return _image_features(img)
     if payload[:2] in (b"P6", b"P5"):
         img = decode_ppm(payload)
+        if img is not None:
+            return _image_features(img)
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
         if img is not None:
             return _image_features(img)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -293,6 +474,8 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFra
                     img = decode_bmp(payload)
                 elif payload[:2] in (b"P6", b"P5"):
                     img = decode_ppm(payload)
+                elif payload[:8] == _PNG_SIG:
+                    img = decode_png(payload)
                 if img is not None:
                     if img.ndim == 3:
                         img = img.mean(axis=2).astype(np.uint8)
@@ -366,8 +549,13 @@ def synthetic_media_df(spark, n: int = 64):
                 (hashlib.sha256(f"img-{i}".encode()).digest()
                  * (w * h * 3 // 32 + 1))[: w * h * 3], dtype=np.uint8,
             ).reshape(h, w, 3)
-            payload = make_bmp(px) if i % 2 == 0 else make_ppm(px)
-            mime = "image/bmp" if i % 2 == 0 else "image/x-portable-pixmap"
+            fmt = (i // 3) % 3
+            if fmt == 0:
+                payload, mime = make_bmp(px), "image/bmp"
+            elif fmt == 1:
+                payload, mime = make_ppm(px), "image/x-portable-pixmap"
+            else:
+                payload, mime = make_png(px, filters=[0, 1, 2, 3, 4]), "image/png"
         elif kind == "audio":
             t = np.arange(800 + 16 * i, dtype=np.float64)
             payload = make_wav(

@@ -193,7 +193,8 @@ def test_multimodal_real_stdlib_decoders(spark):
     feat = decode_media(make_bmp(flat))
     assert feat[0] == 6 and feat[1] == 4
     assert abs(feat[2] - 100 / 255) < 1e-6 and abs(feat[5]) < 1e-6
-    # compressed formats are honestly undecodable here
+    # JPEG is honestly undecodable here; a PNG signature with a garbage
+    # body must fail the chunk/CRC parse, not crash
     assert decode_media(b"\x89PNG\r\n\x1a\ngarbage") is None
     assert decode_media(b"\xff\xd8\xff\xe0jpeg") is None
 
@@ -208,6 +209,84 @@ def test_multimodal_real_stdlib_decoders(spark):
     # resizes to constant bytes (the stub would give hash noise)
     media = spark.createDataFrame(
         [(0, "u", "image", make_bmp(flat), "image/bmp", 6, 4, 0)],
+        "media_id long, url string, kind string, payload binary, "
+        "mime string, width int, height int, duration_ms int",
+    )
+    out = resize_images(media, 3, 2).collect()[0]
+    assert bytes(out["pixels"]) == bytes([100] * 6)
+
+def test_png_decoder_round_trips_all_filters(spark):
+    """Pure-stdlib PNG decode (zlib IDAT, filters 0-4): byte-exact
+    round-trips through make_png for gray/RGB/RGBA at every filter type
+    and a mixed per-row cycle; palette images resolve through PLTE;
+    corrupt CRC / truncation / interlace are rejected with None, never a
+    crash; PNG fixture rows flow decoded=true through the feature and
+    resize stages."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from document_retrieval_system_spark.sources.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_media,
+        decode_png,
+        extract_features,
+        make_png,
+        resize_images,
+        synthetic_media_df,
+    )
+
+    rng = np.random.default_rng(23)
+    shapes = [(1, 1), (3, 5), (16, 9), (7, 8)]
+    for h, w in shapes:
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        for f in (0, 1, 2, 3, 4, [0, 1, 2, 3, 4]):
+            assert np.array_equal(decode_png(make_png(gray, f)), gray), (h, w, f)
+            assert np.array_equal(decode_png(make_png(rgb, f)), rgb), (h, w, f)
+            # RGBA decodes to RGB (alpha dropped)
+            assert np.array_equal(
+                decode_png(make_png(rgba, f)), rgba[:, :, :3]
+            ), (h, w, f)
+
+    # palette (color type 3): hand-built PLTE + index rows
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", plte.tobytes())
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), plte[idx])
+
+    # rejection: flipped CRC byte, truncation, Adam7 interlace
+    good = make_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlace=1
+    interlaced = (_PNG_SIG + _png_chunk(b"IHDR", ihdr_i)
+                  + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+                  + _png_chunk(b"IEND", b""))
+    assert decode_png(interlaced) is None
+    assert decode_png(good[: len(good) // 2]) is None
+    corrupt = bytearray(good)
+    corrupt[len(_PNG_SIG) + 8 + 3] ^= 0x01  # flip an IHDR payload byte -> CRC fails
+    assert decode_png(bytes(corrupt)) is None
+
+    # known-pixel features through the full dispatch
+    flat = np.full((4, 6, 3), 100, dtype=np.uint8)
+    feat = decode_media(make_png(flat, filters=[0, 1, 2, 3, 4]))
+    assert feat is not None and feat[0] == 6 and feat[1] == 4
+    assert abs(feat[2] - 100 / 255) < 1e-6
+
+    # fixture PNG rows decode for real in the pipeline stages
+    rows = extract_features(synthetic_media_df(spark, 36)).collect()
+    png_rows = [r for r in rows if r["kind"] == "image"]
+    assert all(r["decoded"] for r in png_rows)
+    media = spark.createDataFrame(
+        [(0, "u", "image", make_png(flat), "image/png", 6, 4, 0)],
         "media_id long, url string, kind string, payload binary, "
         "mime string, width int, height int, duration_ms int",
     )
