@@ -20,9 +20,12 @@ text actually hits — implied end tags (p/li/dt/dd/tr/td/th/headings/
 option), scope barriers, and the full active-formatting machinery
 (markers, Noah's Ark, reconstruction, the 8-iteration adoption agency
 algorithm) so misnested formatting tags produce html5lib-identical
-trees.  Remaining documented divergences (no html/head/body/tbody
-synthesis, stray table parts kept) are listed with proofs of extractor
-neutrality in tests/test_tree_construction.py.
+trees, and stray table-part start tags outside a table are ignored per
+the "in body" rules (r4 — keeping the element diverged inside main
+regions).  The two remaining documented divergences (no html/head/body
+wrapper synthesis, no tbody synthesis) are pure wrapper deltas; each
+carries an extractor-output INVARIANCE test (not just an argument) in
+tests/test_tree_construction.py.
 """
 
 from __future__ import annotations
@@ -229,6 +232,13 @@ _NO_RECONSTRUCT = (
     )
 )
 _TABLE_FOSTER = frozenset(["table", "tbody", "tfoot", "thead", "tr"])
+# spec "in body": start tags for table parts with NO open table are
+# parse errors and the token is IGNORED (text content stays inline) —
+# html5lib drops the element, so keeping it diverged on extractor
+# queries that target td (closed r4)
+_TABLE_PARTS = frozenset(
+    "caption col colgroup tbody td tfoot th thead tr".split()
+)
 
 
 def _detach(node) -> None:
@@ -461,7 +471,12 @@ class _TreeBuilder(_StdHTMLParser):
             # option closes only an option current node (no deep scan)
             del self.stack[-1:]
 
+    def _table_open(self) -> bool:
+        return any(el.name == "table" for el in self.stack)
+
     def handle_starttag(self, tag, attrs):
+        if tag in _TABLE_PARTS and not self._table_open():
+            return  # stray table part outside any table: ignore the token
         self._implied_close(tag)
         if tag == "a" and self._afe_take("a") is not None:
             # spec: an <a> with an open <a> in the formatting list acts
@@ -488,6 +503,8 @@ class _TreeBuilder(_StdHTMLParser):
                 self.afe.append(None)
 
     def handle_startendtag(self, tag, attrs):
+        if tag in _TABLE_PARTS and not self._table_open():
+            return
         attr_dict: dict[str, str] = {}
         for k, v in attrs:
             if k not in attr_dict:

@@ -92,12 +92,35 @@ def test_links_capped_at_100():
 def test_sparse_page_fallback_len30():
     html = (
         b"<html><body><h3>Heading over five</h3>"
-        b"<td>A table cell carrying more than thirty characters of text.</td>"
+        b"<table><tr><td>A table cell carrying more than thirty characters"
+        b" of text.</td></tr></table>"
         b"<p>short</p></body></html>"
     )
     out = extract_html(html, "u")["content"]
     # <5 parts -> content-tag fallback with len>30 (:141-146)
     assert "table cell carrying" in out
+
+
+def test_stray_td_outside_table_is_ignored_like_html5lib():
+    """html5lib 'in body' IGNORES stray table-part start tags, so their
+    text sits directly in body and is NOT reachable through a td content
+    tag — r1-r3 kept the element, which diverged from the reference
+    inside a main region (the text would have been emitted twice)."""
+    html = (
+        b"<html><body><h3>Heading over five</h3>"
+        b"<td>A table cell carrying more than thirty characters of text.</td>"
+        b"<p>short</p></body></html>"
+    )
+    out = extract_html(html, "u")["content"]
+    assert "table cell carrying" not in out
+    # main-region variant: the section text must appear exactly ONCE
+    # (element-kept behavior emitted it via both section and td)
+    html2 = (
+        b'<div id="main-content"><section><td>Stray cell text inside a '
+        b"main region over twenty chars.</td></section></div>"
+    )
+    out2 = extract_html(html2, "u")["content"]
+    assert out2.count("Stray cell text") == 1
 
 
 def test_duplicate_pages_extract_identically():
