@@ -35,11 +35,22 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def probe(cores: int, pages: int, runs: int) -> dict:
+    env = dict(os.environ)
+    # 400k size_scale=3 pages push humongous-allocation GC pressure in an
+    # 8g JVM across back-to-back runs; headroom keeps the probe about the
+    # engine, not heap sizing (the box has 125 GiB)
+    env.setdefault("SPARK_DRIVER_MEM", "24g")
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "tools", "bench_index.py"),
          "--cores", str(cores), "--pages", str(pages), "--runs", str(runs)],
-        capture_output=True, text=True, check=True, cwd=HERE,
+        capture_output=True, text=True, cwd=HERE, env=env,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(
+            f"bench_index --cores {cores} failed (rc={out.returncode}); "
+            "stderr tail above"
+        )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
