@@ -1357,11 +1357,10 @@ def q_ta_fingerprint(spark, sf_dir):
 
 
 # Horner polynomial over codepoints, base 31, k=8 — the exact constants
-# of textstats.fingerprint's zip_with chain; windows of 16 gram
+# of textstats.winnowed_sets' zip_with chain; windows of 16 gram
 # positions, clamped at the tail, one truncated window when P < 16.
 _FP_POWS = [31 ** (7 - j) for j in range(8)]
-SQL_TA_FINGERPRINT = f"""
-WITH c AS (
+_SQL_WINNOW_CTE = f"""c AS (
   SELECT doc_id, lower(coalesce(text, '')) AS t,
          greatest(length(lower(coalesce(text, ''))) - 7, 0) AS p
   FROM documents
@@ -1380,11 +1379,46 @@ w AS (
            range(1, greatest(p - 15, least(p, 1)) + 1),
            q -> list_aggregate(hs[q:q+15], 'min')) AS sel
   FROM h
-)
+)"""
+SQL_TA_FINGERPRINT = f"""
+WITH {_SQL_WINNOW_CTE}
 SELECT doc_id,
        list_aggregate(hs, 'min') AS fingerprint,
        CAST(len(list_distinct(sel)) AS BIGINT) AS n_fp
 FROM w"""
+
+
+WINNOW_MIN_SHARED = 10  # 26 pairs at sf0.01 (non-vacuous, selective)
+WINNOW_BUCKET_CAP = 64
+
+
+def q_dedup_winnow(spark, sf_dir):
+    """MOSS-style near-dup pairs by shared winnowing fingerprints:
+    local-overlap detection the whole-doc MinHash sketch dilutes away.
+    Hot fingerprints (boilerplate) capped before the self-join."""
+    from document_retrieval_system_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    return winnow_overlap_pairs(
+        _docs(spark, sf_dir), min_shared=WINNOW_MIN_SHARED,
+        bucket_cap=WINNOW_BUCKET_CAP,
+    )
+
+
+SQL_DEDUP_WINNOW = f"""
+WITH {_SQL_WINNOW_CTE},
+fp AS (
+  SELECT doc_id AS id, unnest(list_distinct(sel)) AS fp FROM w
+),
+capped AS (
+  SELECT id, fp FROM fp
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {WINNOW_BUCKET_CAP}
+)
+SELECT l.id AS id_a, r.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM capped l JOIN capped r ON l.fp = r.fp AND l.id < r.id
+GROUP BY l.id, r.id
+HAVING count(*) >= {WINNOW_MIN_SHARED}"""
 
 
 # ---------------------------------------------------------------------------
@@ -1848,6 +1882,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_winnow": (q_dedup_winnow, SQL_DEDUP_WINNOW),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
     "corpus_decontaminate": (q_corpus_decontaminate, SQL_CORPUS_DECON),

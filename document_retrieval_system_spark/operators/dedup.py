@@ -433,3 +433,48 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 8,
+                         window: int = 16, min_shared: int = 20,
+                         bucket_cap: int | None = 64) -> DataFrame:
+    """MOSS-style near-dup pairs by shared winnowing fingerprints:
+    (id_a < id_b, n_shared) for pairs sharing >= ``min_shared`` winnowed
+    char-k-gram hashes (textstats.winnowed_sets).
+
+    Winnowing guarantees any shared substring of length >= window+k-1
+    contributes at least one shared fingerprint, so this catches LOCAL
+    plagiarism/boilerplate overlap that whole-doc MinHash dilutes away —
+    the complementary member of the dedup family.
+
+    Scale shape: identical to the LSH-banded ops — fingerprints are a
+    sparse sketch (~2/(window+1) per char), the self-join key is one
+    fingerprint value, and hot fingerprints (site-wide boilerplate) are
+    CAPPED at ``bucket_cap`` docs before the join so one degenerate hash
+    can never emit m^2 pairs into a reducer; the pair aggregation is a
+    single map-side-combined groupBy."""
+    from document_retrieval_system_spark.operators.textstats import (
+        winnowed_sets,
+    )
+
+    fps = winnowed_sets(df, id_col=id_col, text_col=text_col, k=k,
+                        window=window).select(
+        F.col(id_col).alias("id"), F.explode("fps").alias("fp")
+    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= F.lit(bucket_cap))
+            .drop("_n")
+        )
+    left = fps.alias("l")
+    right = fps.alias("r")
+    return (
+        left.join(right, (F.col("l.fp") == F.col("r.fp"))
+                  & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_shared))
+    )

@@ -156,14 +156,12 @@ def pii_counts(df: DataFrame, id_col: str = "doc_id",
 FP_BASE = 31  # polynomial base; 8 codepoints * 31^7 stays < 2^58 (no mod)
 
 
-def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                k: int = 8, window: int = 16) -> DataFrame:
-    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken '03):
-    polynomial hash per char-k-gram + window-minimum selection.
-
-    r1-r3 computed one md5 PER CHARACTER of corpus text (array_min over
-    md5'd shingles) — linear but with a constant that made this the
-    suite's most expensive query (8.1 s at sf0.1).  Now:
+def winnowed_sets(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 8,
+                  window: int = 16) -> DataFrame:
+    """Winnowing fingerprint sets (Schleimer/Wilkerson/Aiken '03):
+    (id, fps array<long>) — the distinct window-minimum selection over
+    polynomial char-k-gram hashes.
 
     - gram hash = Horner polynomial over codepoints (h*31 + c), built as
       a k-level zip_with chain over ONE materialized codes array — pure
@@ -175,10 +173,10 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
       materialized once (windows clamped at the text tail; one
       truncated window when fewer than ``window`` grams exist).
 
-    Output per doc: ``fingerprint`` = global min hash (always a member
-    of the winnowed set), ``n_fp`` = distinct winnowed hashes — the
-    density-guaranteed sketch size (~2/(window+1) per char vs one hash
-    per char before)."""
+    The sketch is density-guaranteed (~2/(window+1) hashes per char) and
+    any shared substring of length >= window + k - 1 contributes at
+    least one shared fingerprint — the overlap-detection property
+    ``dedup.winnow_overlap_pairs`` builds on."""
     assert window & (window - 1) == 0, "window must be a power of two"
     text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
@@ -213,10 +211,26 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col("_p") - (window - 1), F.least(F.col("_p"), F.lit(1))
     )
     winnowed = F.array_distinct(F.slice(F.col(cur), 1, n_windows))
-    return out.select(
+    return out.select(F.col(id_col), winnowed.alias("fps"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                k: int = 8, window: int = 16) -> DataFrame:
+    """Per-doc winnowing scalars: ``fingerprint`` = min hash (the global
+    minimum is in every window containing it, so it is always a member
+    of the winnowed set) and ``n_fp`` = sketch cardinality.
+
+    r1-r3 computed one md5 PER CHARACTER of corpus text (array_min over
+    md5'd shingles) — linear but with a constant that made this the
+    suite's most expensive query (8.1 s at sf0.1); the polynomial
+    winnowing in ``winnowed_sets`` is ~4x faster and yields a usable
+    sketch rather than just a scalar."""
+    sets = winnowed_sets(df, id_col=id_col, text_col=text_col, k=k,
+                         window=window)
+    return sets.select(
         F.col(id_col),
-        F.array_min(F.slice(F.col("_h"), 1, F.col("_p"))).alias("fingerprint"),
-        F.size(winnowed).cast("long").alias("n_fp"),
+        F.array_min("fps").alias("fingerprint"),
+        F.size("fps").cast("long").alias("n_fp"),
     )
 
 

@@ -292,3 +292,47 @@ def test_png_decoder_round_trips_all_filters(spark):
     )
     out = resize_images(media, 3, 2).collect()[0]
     assert bytes(out["pixels"]) == bytes([100] * 6)
+
+def test_winnow_overlap_pairs_guarantee_and_cap(spark):
+    """Winnowing guarantee: docs sharing a substring of length >=
+    window + k - 1 share at least one fingerprint; disjoint docs share
+    none; min_shared filters; a fingerprint hotter than bucket_cap is
+    dropped before the join (boilerplate guard)."""
+    from document_retrieval_system_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+    from document_retrieval_system_spark.operators.textstats import (
+        winnowed_sets,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "totally different lead-in " + shared + " other tail text"),
+        (3, "no overlap here at all zzz qqq www eee rrr ttt yyy uuu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_overlap_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # min_shared filter: identical docs share ~all fingerprints, so a
+    # high threshold keeps the clone pair and drops the substring pair
+    big = " ".join(f"tok{i:03d}" for i in range(200))
+    df2 = spark.createDataFrame(
+        [(1, big), (2, big), (3, "prefix " + shared + " tail")],
+        "doc_id long, text string",
+    )
+    n_fp = winnowed_sets(df2).filter("doc_id = 1").collect()[0]["fps"]
+    strict = {(r["id_a"], r["id_b"])
+              for r in winnow_overlap_pairs(df2, min_shared=len(n_fp)).collect()}
+    assert strict == {(1, 2)}
+
+    # cap: the same text in bucket_cap+1 docs -> every fingerprint is
+    # hot -> all pairs suppressed (exact dedup owns byte-identical text)
+    clones = spark.createDataFrame(
+        [(i, big) for i in range(6)], "doc_id long, text string"
+    )
+    assert winnow_overlap_pairs(clones, min_shared=1, bucket_cap=5).count() == 0
+    assert winnow_overlap_pairs(clones, min_shared=1, bucket_cap=6).count() > 0
