@@ -4,12 +4,14 @@ Media are opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` stages.  Decode is REAL for the formats the
 standard library can parse — uncompressed BMP (24/32-bit BI_RGB), binary
 PPM/PGM, **PNG** (zlib IDAT, filters 0-4, 8-bit gray/RGB/palette/
-gray+alpha/RGBA, non-interlaced), and PCM WAV (8/16-bit, via ``wave``) —
-with byte-level round-trip tests against the fixture writers below.
-JPEG/MP4 have no stdlib codec in this container, so payloads that aren't
-a stdlib-parseable format fall back to a clearly-marked deterministic
-STUB (``decoded = false`` in the feature output); swap the fallback for
-PIL/ffmpeg in production — nothing else changes.
+gray+alpha/RGBA, non-interlaced), **GIF** (87a/89a, full LZW
+decode/encode with 12-bit dict reset, interlace, local color tables),
+and PCM WAV (8/16-bit, via ``wave``) — with byte-level round-trip tests
+against the fixture writers below.  JPEG/MP4 have no stdlib codec in
+this container, so payloads that aren't a stdlib-parseable format fall
+back to a clearly-marked deterministic STUB (``decoded = false`` in the
+feature output); swap the fallback for PIL/ffmpeg in production —
+nothing else changes.
 
 Schema:
     media(media_id long, url string, kind string,      -- image|audio|video
@@ -306,6 +308,183 @@ def make_png(img: np.ndarray, filters=0) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    clear/end codes, dict capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None  # corrupt stream
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encoder (dict reset at 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    prev = b""
+    for b in indices:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], code_size)
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= (1 << 12):
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray | None:
+    """Pure-stdlib GIF87a/89a decoder: first frame -> (h, w, 3) uint8 via
+    the active color table; handles interlace, local color tables, and
+    extension blocks; None for anything out of subset/corrupt."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    try:
+        sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        while pos < len(payload):
+            b0 = payload[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer
+                return None
+            if b0 == 0x21:  # extension: skip label + sub-blocks
+                pos += 1
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None or w <= 0 or h <= 0:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code)
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipacked & 0x40:  # interlace: rows in 4-pass order
+                order = []
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    order.extend(range(start, h, step))
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            if int(arr.max()) >= len(ct):
+                return None
+            return ct[arr]
+    except (IndexError, struct.error):
+        return None
+    return None
+
+
+def make_gif(indexed: np.ndarray, palette: np.ndarray,
+             interlace: bool = False) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) palette -> single-frame GIF
+    (round-trips through decode_gif to palette[indexed] exactly)."""
+    h, w = indexed.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)
+    rows = indexed
+    if interlace:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, h, step))
+        rows = indexed[order]
+    min_code = max(2, bits)
+    out.append(min_code)
+    data = _lzw_encode(rows.astype(np.uint8).tobytes(), min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
     """PCM WAV -> (float32 samples in [-1, 1] of the first channel,
     sample_rate); None for non-PCM / out-of-subset files."""
@@ -385,6 +564,10 @@ def decode_media(payload: bytes) -> np.ndarray | None:
             return _image_features(img)
     if payload[:8] == _PNG_SIG:
         img = decode_png(payload)
+        if img is not None:
+            return _image_features(img)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        img = decode_gif(payload)
         if img is not None:
             return _image_features(img)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -476,6 +659,8 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFra
                     img = decode_ppm(payload)
                 elif payload[:8] == _PNG_SIG:
                     img = decode_png(payload)
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    img = decode_gif(payload)
                 if img is not None:
                     if img.ndim == 3:
                         img = img.mean(axis=2).astype(np.uint8)
@@ -549,13 +734,21 @@ def synthetic_media_df(spark, n: int = 64):
                 (hashlib.sha256(f"img-{i}".encode()).digest()
                  * (w * h * 3 // 32 + 1))[: w * h * 3], dtype=np.uint8,
             ).reshape(h, w, 3)
-            fmt = (i // 3) % 3
+            fmt = (i // 3) % 4
             if fmt == 0:
                 payload, mime = make_bmp(px), "image/bmp"
             elif fmt == 1:
                 payload, mime = make_ppm(px), "image/x-portable-pixmap"
-            else:
+            elif fmt == 2:
                 payload, mime = make_png(px, filters=[0, 1, 2, 3, 4]), "image/png"
+            else:
+                pal = np.frombuffer(
+                    hashlib.sha256(f"pal-{i}".encode()).digest() * 6,
+                    dtype=np.uint8,
+                )[:192].reshape(64, 3)
+                payload = make_gif((px[:, :, 0] % 64).astype(np.uint8), pal,
+                                   interlace=(i % 2 == 0))
+                mime = "image/gif"
         elif kind == "audio":
             t = np.arange(800 + 16 * i, dtype=np.float64)
             payload = make_wav(
