@@ -458,10 +458,17 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
         winnowed_sets,
     )
 
-    fps = winnowed_sets(df, id_col=id_col, text_col=text_col, k=k,
-                        window=window).select(
-        F.col(id_col).alias("id"), F.explode("fps").alias("fp")
-    )
+    # EAGER materialization before the explode is load-bearing: the
+    # winnow chain is a stack of higher-order-function projections, and
+    # evaluating it under the Generate node runs it interpreted /
+    # re-evaluated per emitted fingerprint — measured 270 s vs 1.4 s for
+    # the whole operator at sf0.1 (a repartition() exchange does NOT
+    # break the pathology; only materializing the sketch does).  The
+    # sketch is ~2/(window+1) longs per char, so storing it is cheap at
+    # any scale; swap for checkpoint()/a parquet stage on a cluster.
+    sets = winnowed_sets(df, id_col=id_col, text_col=text_col, k=k,
+                         window=window).localCheckpoint(eager=True)
+    fps = sets.select(F.col(id_col).alias("id"), F.explode("fps").alias("fp"))
     if bucket_cap is not None:
         w = Window.partitionBy("fp")
         fps = (
