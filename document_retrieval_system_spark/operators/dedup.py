@@ -395,11 +395,17 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
         ).limit(0)
     dim = len(row[0])
     planes = hyperplanes(dim, sig_bits, seed)
+    # (id, sig) MATERIALIZED before the band explode: the signature is a
+    # per-plane HOF fold chain, and evaluating it under a Generate node
+    # (or once per downstream consumer) re-runs it interpreted — the
+    # same pathology as the winnow sketch below, measured ~2x on this
+    # operator.  Only the tiny (id, 64-char sig) projection is stored;
+    # the verify joins read vectors straight from the INPUT, never
+    # through the signature plan.
     sig = emb.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         lsh_signature_col(F.col(vec_col), planes).alias("sig"),
-    )
+    ).localCheckpoint(eager=True)
     n_bands = sig_bits // band_size
     bands = sig.select(
         "id",
@@ -416,8 +422,8 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_key")
     cand = _banded_pairs(bands, bucket_cap)
-    va = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
 
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
