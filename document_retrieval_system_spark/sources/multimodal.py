@@ -6,12 +6,14 @@ standard library can parse — uncompressed BMP (24/32-bit BI_RGB), binary
 PPM/PGM, **PNG** (zlib IDAT, filters 0-4, 8-bit gray/RGB/palette/
 gray+alpha/RGBA, non-interlaced), **GIF** (87a/89a, full LZW
 decode/encode with 12-bit dict reset, interlace, local color tables),
-and PCM WAV (8/16-bit, via ``wave``) — with byte-level round-trip tests
-against the fixture writers below.  JPEG/MP4 have no stdlib codec in
-this container, so payloads that aren't a stdlib-parseable format fall
-back to a clearly-marked deterministic STUB (``decoded = false`` in the
-feature output); swap the fallback for PIL/ffmpeg in production —
-nothing else changes.
+PCM WAV (8/16-bit, via ``wave``), and **baseline JPEG** (SOF0 Huffman +
+IDCT, 4:4:4/4:2:2/4:2:0, restart markers — `jpeg_codec.py`) — with
+round-trip tests against the fixture writers (byte-exact for the
+lossless formats, bounded-error for JPEG).  MP4/H.264 frame decode has
+no stdlib codec in this container, so payloads that aren't a parseable
+format fall back to a clearly-marked deterministic STUB (``decoded =
+false`` in the feature output); swap the fallback for ffmpeg in
+production — nothing else changes.
 
 Schema:
     media(media_id long, url string, kind string,      -- image|audio|video
@@ -33,6 +35,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from document_retrieval_system_spark.sources.jpeg_codec import decode_jpeg, make_jpeg
 
 MEDIA_SCHEMA = (
     "media_id long, url string, kind string, payload binary, mime string, "
@@ -553,7 +557,7 @@ def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 def decode_media(payload: bytes) -> np.ndarray | None:
     """Magic-byte dispatch to the real decoders; None if no stdlib
-    decoder applies (JPEG/MP4 — production swaps in PIL/ffmpeg)."""
+    decoder applies (MP4/H.264 — production swaps in ffmpeg)."""
     if payload[:2] == b"BM":
         img = decode_bmp(payload)
         if img is not None:
@@ -568,6 +572,10 @@ def decode_media(payload: bytes) -> np.ndarray | None:
             return _image_features(img)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         img = decode_gif(payload)
+        if img is not None:
+            return _image_features(img)
+    if payload[:2] == b"\xff\xd8":
+        img = decode_jpeg(payload)
         if img is not None:
             return _image_features(img)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -661,6 +669,8 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFra
                     img = decode_png(payload)
                 elif payload[:6] in (b"GIF87a", b"GIF89a"):
                     img = decode_gif(payload)
+                elif payload[:2] == b"\xff\xd8":
+                    img = decode_jpeg(payload)
                 if img is not None:
                     if img.ndim == 3:
                         img = img.mean(axis=2).astype(np.uint8)
@@ -734,13 +744,17 @@ def synthetic_media_df(spark, n: int = 64):
                 (hashlib.sha256(f"img-{i}".encode()).digest()
                  * (w * h * 3 // 32 + 1))[: w * h * 3], dtype=np.uint8,
             ).reshape(h, w, 3)
-            fmt = (i // 3) % 4
+            fmt = (i // 3) % 5
             if fmt == 0:
                 payload, mime = make_bmp(px), "image/bmp"
             elif fmt == 1:
                 payload, mime = make_ppm(px), "image/x-portable-pixmap"
             elif fmt == 2:
                 payload, mime = make_png(px, filters=[0, 1, 2, 3, 4]), "image/png"
+            elif fmt == 4:
+                payload = make_jpeg(px, subsample="420" if i % 2 else "444",
+                                    restart_interval=i % 3)
+                mime = "image/jpeg"
             else:
                 pal = np.frombuffer(
                     hashlib.sha256(f"pal-{i}".encode()).digest() * 6,

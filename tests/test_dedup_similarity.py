@@ -193,8 +193,8 @@ def test_multimodal_real_stdlib_decoders(spark):
     feat = decode_media(make_bmp(flat))
     assert feat[0] == 6 and feat[1] == 4
     assert abs(feat[2] - 100 / 255) < 1e-6 and abs(feat[5]) < 1e-6
-    # JPEG is honestly undecodable here; a PNG signature with a garbage
-    # body must fail the chunk/CRC parse, not crash
+    # a PNG signature with a garbage body must fail the chunk/CRC parse,
+    # and a JPEG SOI with a garbage body the marker parse — None, no crash
     assert decode_media(b"\x89PNG\r\n\x1a\ngarbage") is None
     assert decode_media(b"\xff\xd8\xff\xe0jpeg") is None
 
@@ -387,3 +387,107 @@ def test_gif_decoder_round_trips(spark):
     rows = extract_features(synthetic_media_df(spark, 48)).collect()
     gif_rows = [r for r in rows if r["kind"] == "image"]
     assert gif_rows and all(r["decoded"] for r in gif_rows)
+
+
+def test_jpeg_decoder_hand_crafted_and_round_trips(spark):
+    """Baseline JPEG decode is REAL (`sources/jpeg_codec.py`).  Two
+    hand-assembled streams (built bit-by-bit here, independent of the
+    encoder) pin the DC path (dequant x IDCT x level-shift) and the
+    zigzag/orientation of the first AC coefficient; encoder round-trips
+    cover gray/4:4:4/4:2:0/restart markers with bounded lossy error;
+    non-baseline and corrupt streams reject with None."""
+    import struct
+
+    import numpy as np
+
+    from document_retrieval_system_spark.sources.jpeg_codec import (
+        ZIGZAG,
+        _C,
+        decode_jpeg,
+        make_jpeg,
+    )
+    from document_retrieval_system_spark.sources.multimodal import (
+        decode_media,
+        extract_features,
+        make_bmp,
+        resize_images,
+        synthetic_media_df,
+    )
+
+    # structural pins: orthonormal DCT basis, true T.81 zigzag prefix
+    assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+    assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+    def hand_jpeg(dc_vals, ac_vals, scan_bytes):
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([16] * 64)
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        for tc, vals in ((0, dc_vals), (1, ac_vals)):
+            counts = [0] * 16
+            # all codes at length ceil(log2(n+1)); here n<=2 -> length 1 or 2
+            ln = 1 if len(vals) == 1 else 2
+            counts[ln - 1] = len(vals)
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc << 4)
+            out += bytes(counts) + bytes(vals)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+        out += scan_bytes + b"\xff\xd9"
+        return bytes(out)
+
+    # DC-only: code '0'->category 4, magnitude 1000 (diff=8), EOB '0'
+    # bits: 0 1000 0 + pad 11 = 0x43; DC = 8*q(16) = 128 -> every pixel
+    # 128/8 + 128 = 144
+    img = decode_jpeg(hand_jpeg([4], [0x00], bytes([0x43])))
+    assert img is not None and img.shape == (8, 8)
+    assert np.all(img == 144)
+
+    # one AC coefficient at zigzag index 1 == raster (0,1): DC table
+    # ['0'->s=0], AC table ['00'->(run0,size1), '01'->EOB]; bits
+    # 0 00 1 01 + pad 11 = 0x17.  Horizontal cosine: rows identical,
+    # columns strictly ordered col0 > col7 (a transposed IDCT or a wrong
+    # zigzag would flip this).
+    img = decode_jpeg(hand_jpeg([0], [0x01, 0x00], bytes([0x17])))
+    assert img is not None
+    assert np.all(img == img[0:1, :])          # every row the same
+    assert not np.all(img[:, 0] == img[0, 0]) or img[0, 0] != img[0, 7]
+    expect0 = round(16 * _C[0, 0] * _C[1, 0] + 128)
+    assert img[0, 0] == expect0 and img[0, 0] > img[0, 7]
+
+    # encoder round-trips (lossy: bounded error, flat near-exact)
+    rng = np.random.default_rng(5)
+    smooth = np.repeat(np.repeat(rng.integers(0, 256, (5, 7, 3)), 8, 0), 8, 1).astype(np.uint8)
+    for sub in ("444", "420"):
+        for ri in (0, 2):
+            dec = decode_jpeg(make_jpeg(smooth, subsample=sub, restart_interval=ri, scale=0.5))
+            assert dec.shape == smooth.shape
+            # blockwise-constant images survive 4:2:0 chroma averaging
+            assert np.abs(dec.astype(float) - smooth).mean() < 3.0
+    gray = (np.outer(np.arange(20), np.ones(31)) * 7 % 256).astype(np.uint8)
+    dec = decode_jpeg(make_jpeg(gray, scale=0.5))
+    assert dec.shape == gray.shape and np.abs(dec.astype(float) - gray).max() <= 2
+
+    # rejection: progressive (SOF2), truncation mid-header, garbage
+    prog = bytearray(make_jpeg(smooth))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+    assert decode_jpeg(make_jpeg(smooth)[:40]) is None
+    assert decode_jpeg(b"\xff\xd8nonsense") is None
+
+    # pipeline: JPEG fixture rows decode for real; resize reads REAL
+    # pixels (flat JPEG -> flat resized bytes, not hash noise)
+    rows = extract_features(synthetic_media_df(spark, 64)).collect()
+    jpeg_rows = [r for r in rows if r["kind"] == "image"]
+    assert jpeg_rows and all(r["decoded"] for r in jpeg_rows)
+    flat = np.full((8, 8, 3), 90, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(0, "u", "image", make_jpeg(flat, scale=0.25), "image/jpeg", 8, 8, 0)],
+        "media_id long, url string, kind string, payload binary, "
+        "mime string, width int, height int, duration_ms int",
+    )
+    out = resize_images(media, 2, 2).collect()[0]
+    px = np.frombuffer(bytes(out["pixels"]), dtype=np.uint8)
+    assert np.abs(px.astype(int) - 90).max() <= 1
+    # feature dispatch: flat JPEG -> known mean via decode_media
+    feat = decode_media(make_jpeg(flat, scale=0.25))
+    assert feat is not None and feat[0] == 8 and feat[1] == 8
+    assert abs(feat[2] - 90 / 255) < 0.01
