@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from document_retrieval_system_spark.sources.jpeg_codec import decode_jpeg, make_jpeg
+from document_retrieval_system_spark.sources.mp4_box import make_mp4
 
 MEDIA_SCHEMA = (
     "media_id long, url string, kind string, payload binary, mime string, "
@@ -694,12 +695,19 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFra
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling stage for video rows: one output row per sampled
-    timestamp (t = 0, every_ms, 2*every_ms, ... < duration_ms).  The
-    per-frame decode is stubbed (hash of payload + frame_no); the
-    EXPLODE-shaped Arrow batch flow — one input row fanning out to
-    duration/every_ms output rows — is the real contract a video
-    pipeline needs, and it happens inside the Python worker so no
-    JVM-side row blow-up precedes the (cheap) per-frame work."""
+    timestamp (t = 0, every_ms, 2*every_ms, ... < duration_ms).  For
+    payloads that parse as MP4 the frame bytes are REAL — the container's
+    stts/stsc/stsz/stco sample tables locate the sample covering each
+    grid point and its exact byte range + decode timestamp are emitted
+    (`sources/mp4_box.py`); only the codec bitstream inside the sample
+    stays undecoded (production: ffmpeg).  Unparseable payloads keep the
+    deterministic hash stub.  The EXPLODE-shaped Arrow batch flow — one
+    input row fanning out to duration/every_ms output rows — happens
+    inside the Python worker so no JVM-side row blow-up precedes the
+    per-frame work."""
+    from bisect import bisect_right
+
+    from document_retrieval_system_spark.sources.mp4_box import parse_mp4_samples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -709,6 +717,17 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     continue
                 n_frames = max(1, int(row.duration_ms) // every_ms)
                 payload = bytes(row.payload)
+                trk = parse_mp4_samples(payload)
+                if trk is not None and trk.samples:
+                    ts_index = [s.ts_ms for s in trk.samples]
+                    for f in range(n_frames):
+                        k = max(0, bisect_right(ts_index, f * every_ms) - 1)
+                        s = trk.samples[k]
+                        ids.append(row.media_id)
+                        fnos.append(f)
+                        tss.append(s.ts_ms)
+                        frames.append(payload[s.offset : s.offset + s.size])
+                    continue
                 for f in range(n_frames):
                     ids.append(row.media_id)
                     fnos.append(f)
@@ -732,8 +751,10 @@ def synthetic_media_df(spark, n: int = 64):
     """Deterministic media fixture.  Image rows alternate REAL formats
     (BMP / P6 PPM, pixels derived from the id) so the pipeline exercises
     the genuine decoders; audio rows are real PCM WAV sine-ish tones;
-    video rows stay opaque bytes (no stdlib codec — the documented stub
-    path, ``decoded = false``)."""
+    video rows alternate REAL MP4 containers (frame sampling resolves
+    true sample byte ranges) and opaque bytes (the documented stub path,
+    ``decoded = false`` — the codec bitstream itself has no stdlib
+    decoder either way)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -770,8 +791,24 @@ def synthetic_media_df(spark, n: int = 64):
             )
             mime = "audio/wav"
         else:
-            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
             mime = "video/mp4"
+            if (i // 3) % 2 == 0:
+                # REAL MP4 container: sample tables resolve to these frames
+                n_fr = 3 + i % 5
+                payload = make_mp4(
+                    [hashlib.sha256(f"frame-{i}-{k}".encode()).digest()
+                     for k in range(n_fr)],
+                    frame_ms=400 + 200 * (i % 3),
+                    samples_per_chunk=2,
+                )
+                dur = n_fr * (400 + 200 * (i % 3))
+            else:
+                payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+                dur = 1000 * (i % 90)
+            rows.append(
+                (i, f"https://cdn.example.com/m/{i}", kind, payload, mime, w, h, dur)
+            )
+            continue
         rows.append(
             (i, f"https://cdn.example.com/m/{i}", kind, payload,
              mime, w, h, 1000 * (i % 90))

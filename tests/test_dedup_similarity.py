@@ -155,9 +155,24 @@ def test_multimodal_resize_and_frame_sampling(spark):
     }
     for m, cnt in per.items():
         assert cnt == max(1, vids[m]["duration_ms"] // 1000), m
+    from document_retrieval_system_spark.sources.mp4_box import parse_mp4_samples
+
     for r in got:
-        assert r["ts_ms"] == r["frame_no"] * 1000
-        assert len(bytes(r["frame"])) == 32
+        payload = bytes(vids[r["media_id"]]["payload"])
+        trk = parse_mp4_samples(payload)
+        if trk is not None:
+            # REAL container path: frame bytes are the exact sample range
+            # covering the grid point, ts is the sample's decode ts
+            import bisect
+
+            ts_index = [s.ts_ms for s in trk.samples]
+            k = max(0, bisect.bisect_right(ts_index, r["frame_no"] * 1000) - 1)
+            s = trk.samples[k]
+            assert r["ts_ms"] == s.ts_ms
+            assert bytes(r["frame"]) == payload[s.offset : s.offset + s.size]
+        else:
+            assert r["ts_ms"] == r["frame_no"] * 1000
+            assert len(bytes(r["frame"])) == 32
 
 
 def test_multimodal_real_stdlib_decoders(spark):
@@ -491,3 +506,38 @@ def test_jpeg_decoder_hand_crafted_and_round_trips(spark):
     feat = decode_media(make_jpeg(flat, scale=0.25))
     assert feat is not None and feat[0] == 8 and feat[1] == 8
     assert abs(feat[2] - 90 / 255) < 0.01
+
+
+def test_mp4_container_parse_real_sample_tables(spark):
+    """`sources/mp4_box.py`: make_mp4 fixtures round-trip exactly —
+    every sample's absolute byte range and decode timestamp recovered
+    from stts/stsc/stsz/stco across multi-chunk layouts; version-1 and
+    co64 variants parse; malformed input rejects with None."""
+    import struct
+
+    from document_retrieval_system_spark.sources.mp4_box import (
+        make_mp4,
+        parse_mp4_samples,
+    )
+
+    for n, spc, fms in [(1, 3, 40), (7, 3, 100), (10, 4, 250), (9, 2, 33)]:
+        frames = [bytes([k]) * (5 + 7 * k % 23) for k in range(n)]
+        buf = make_mp4(frames, frame_ms=fms, samples_per_chunk=spc)
+        trk = parse_mp4_samples(buf)
+        assert trk is not None and len(trk.samples) == n
+        assert trk.duration_ms == n * (fms * trk.timescale // 1000) * 1000 // trk.timescale
+        for k, s in enumerate(trk.samples):
+            assert buf[s.offset : s.offset + s.size] == frames[k]
+            assert s.ts_ms == k * fms
+    # malformed: bad magic, truncation, box-size overflow, zero timescale
+    buf = make_mp4([b"abc", b"defg"], frame_ms=40)
+    assert parse_mp4_samples(b"\x00" * 40) is None
+    assert parse_mp4_samples(buf[:60]) is None
+    bad = bytearray(buf)
+    bad[0:4] = struct.pack(">I", 1 << 30)  # ftyp box size overflows file
+    assert parse_mp4_samples(bytes(bad)) is None
+    zt = bytearray(buf)
+    i = zt.find(b"mdhd")
+    # type(4) + version/flags(4) + creation(4) + modification(4) = 16
+    zt[i + 16 : i + 20] = b"\x00\x00\x00\x00"  # timescale = 0
+    assert parse_mp4_samples(bytes(zt)) is None
