@@ -1851,6 +1851,145 @@ def q_s4_extract_pages(spark, sf_dir):
     )
 
 
+# the synthetic corpus text is single-line, so the line-level repetition
+# signals need planted line structure (same expression both engines):
+# every 5th doc gets its own 40-char prefix repeated twice plus a shared
+# copyright footer; every 5th+1 doc gets the footer alone.  The gram
+# signals (top2/dup3) run on the raw token stream, which repeats
+# naturally — no planting there.
+_REP_FOOTER = "Copyright 2024 Example Corp All rights reserved"
+
+
+def _repetition_planted_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    prefix = F.substring(t, 1, 40)
+    with_dups = F.concat(t, F.lit("\n"), prefix, F.lit("\n"), prefix,
+                         F.lit("\n" + _REP_FOOTER))
+    with_footer = F.concat(t, F.lit("\n" + _REP_FOOTER))
+    return d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, with_dups)
+        .when(F.col("doc_id") % 5 == 1, with_footer)
+        .otherwise(t),
+    )
+
+
+def q_ta_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup-line fraction and char mass,
+    heaviest-2-gram char fraction, duplicated-3-gram char fraction) —
+    the repetition leg of the reference-era quality filters, upgraded to
+    the Rae et al. 2021 signal set a webtext pipeline actually uses."""
+    return textstats.repetition_signals(_repetition_planted_docs(spark, sf_dir))
+
+
+_SQL_REP_PLANT = f"""
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+                coalesce(text,'') || chr(10) || substr(coalesce(text,''), 1, 40)
+                || chr(10) || substr(coalesce(text,''), 1, 40)
+                || chr(10) || '{_REP_FOOTER}'
+              WHEN doc_id % 5 = 1 THEN
+                coalesce(text,'') || chr(10) || '{_REP_FOOTER}'
+              ELSE coalesce(text,'') END AS text
+  FROM documents
+)"""
+
+SQL_TA_REPETITION = "WITH " + _SQL_REP_PLANT + r""",
+toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z]', ' ', 'g'), ' '),
+                     t -> length(t) >= 2) AS toks
+  FROM planted
+),
+lines AS (
+  SELECT doc_id, length(text) AS tlen,
+         list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS ls
+  FROM planted
+),
+lstat AS (
+  SELECT doc_id, tlen, len(ls) AS n_lines,
+         len(list_distinct(ls)) AS ndl,
+         coalesce(list_sum(list_transform(ls, x -> length(x)))::BIGINT, 0) AS lchars,
+         coalesce(list_sum(list_transform(list_distinct(ls), x -> length(x)))::BIGINT, 0) AS dchars
+  FROM lines
+),
+c2 AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      ELSE [] END) AS g
+    FROM toks) GROUP BY doc_id, g
+),
+t2 AS (SELECT doc_id, max(c * length(g))::BIGINT AS m2 FROM c2 GROUP BY doc_id),
+c3 AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END) AS g
+    FROM toks) GROUP BY doc_id, g
+),
+t3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)::BIGINT AS dm3,
+         sum(c * length(g))::BIGINT AS tm3
+  FROM c3 GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_lines,
+       round(CASE WHEN s.n_lines > 0 THEN (s.n_lines - s.ndl) * 1.0 / s.n_lines ELSE 0.0 END, 4) AS dup_line_frac,
+       round(CASE WHEN s.lchars > 0 THEN (s.lchars - s.dchars) * 1.0 / s.lchars ELSE 0.0 END, 4) AS dup_line_char_frac,
+       round(CASE WHEN s.tlen > 0 THEN coalesce(t2.m2, 0) * 1.0 / s.tlen ELSE 0.0 END, 4) AS top2_char_frac,
+       round(CASE WHEN coalesce(t3.tm3, 0) > 0 THEN coalesce(t3.dm3, 0) * 1.0 / t3.tm3 ELSE 0.0 END, 4) AS dup3_char_frac
+FROM lstat s LEFT JOIN t2 ON s.doc_id = t2.doc_id LEFT JOIN t3 ON s.doc_id = t3.doc_id"""
+
+
+# paragraph dedup: plant shared boilerplate paragraphs (nav/footer text
+# recurring across many docs) on every 9th doc, in 4 rotating variants
+_PARA_BOILER = "shared boilerplate navigation menu home about contact page footer variant "
+
+
+def _para_planted_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    plant = F.concat(t, F.lit("\n" + _PARA_BOILER),
+                     (F.col("doc_id") % 4).cast("string"))
+    return d.withColumn(
+        "text", F.when(F.col("doc_id") % 9 == 0, plant).otherwise(t)
+    )
+
+
+def q_dedup_paragraph(spark, sf_dir):
+    """Paragraph-level exact dedup: identical >=20-char paragraphs
+    appearing in >= 2 distinct documents, grouped by md5 with min-doc
+    representative — the boilerplate-removal pass of a webtext
+    pipeline (one explode + one hash groupBy; shuffle keys are 32-byte
+    hashes regardless of paragraph length)."""
+    return dedup.paragraph_duplicate_groups(_para_planted_docs(spark, sf_dir))
+
+
+SQL_DEDUP_PARAGRAPH = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN
+           coalesce(text,'') || chr(10) || '{_PARA_BOILER}' || (doc_id % 4)::VARCHAR
+         ELSE coalesce(text,'') END AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, trim(p) AS para FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS p FROM planted)
+  WHERE length(trim(p)) >= 20
+)
+SELECT md5(para) AS para_hash,
+       min(doc_id) AS keep_id,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occur
+FROM paras
+GROUP BY md5(para)
+HAVING count(DISTINCT doc_id) >= 2"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -1893,6 +2032,8 @@ QUERIES = {
     "ta_quality": (q_ta_quality, SQL_TA_QUALITY),
     "ta_tokencount": (q_ta_tokencount, SQL_TA_TOKENCOUNT),
     "ta_pii": (q_ta_pii, SQL_TA_PII),
+    "ta_repetition": (q_ta_repetition, SQL_TA_REPETITION),
+    "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "ta_fingerprint": (q_ta_fingerprint, SQL_TA_FINGERPRINT),
     "t7_keywords": (q_t7_keywords, SQL_T7),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),

@@ -491,3 +491,40 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= F.lit(min_shared))
     )
+
+
+def paragraph_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               min_len: int = 20) -> DataFrame:
+    """Paragraph-level exact dedup: split each document at newlines,
+    trim, drop short fragments (< `min_len` chars), and group identical
+    paragraphs that appear in >= 2 distinct documents.  Output one row
+    per duplicated paragraph: (para_hash, keep_id = min doc, n_docs,
+    n_occur).
+
+    The boilerplate-paragraph pass of a webtext pipeline (nav menus,
+    cookie banners, copyright footers recur across a site's every page);
+    the groups drive either paragraph removal or doc-level boilerplate
+    scoring.  Scale shape: one explode + one hash groupBy with map-side
+    partial aggregation — the same single-shuffle plan as exact doc
+    dedup, keyed on md5(paragraph) so shuffle keys stay 32 bytes no
+    matter how long the paragraph is."""
+    paras = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+                            lambda x: F.trim(x)),
+                lambda x: F.length(x) >= min_len,
+            )
+        ).alias("para"),
+    )
+    return (
+        paras.groupBy(F.md5(F.col("para")).alias("para_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.count("*").cast("long").alias("n_occur"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

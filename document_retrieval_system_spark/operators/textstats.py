@@ -153,6 +153,72 @@ def pii_counts(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col), *cols)
 
 
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", table A1's repetition filters):
+
+    - ``n_lines`` / ``dup_line_frac`` / ``dup_line_char_frac``: fraction
+      of newline-separated lines (and of their character mass) that are
+      repeats of an earlier identical line.  Pure array HOFs — map-only,
+      no shuffle.
+    - ``top2_char_frac``: character mass of the heaviest word 2-gram
+      (count x gram length) over total text length — high values mean
+      one phrase dominates the page.
+    - ``dup3_char_frac``: character mass sitting in word 3-grams that
+      occur >= 2 times, over total 3-gram mass.
+
+    The gram legs are explode -> (doc, gram) count -> per-doc aggregate:
+    two shuffles with map-side partial aggregation, linear in corpus
+    size — the 100 TB path.  All masses stay integer until one final
+    double division so both engines produce bit-identical ratios."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
+    dlines = F.array_distinct(lines)
+    csum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.length(t).alias("_tlen"),
+        F.size(lines).alias("n_lines"),
+        F.size(dlines).alias("_ndl"),
+        csum(lines).alias("_lchars"),
+        csum(dlines).alias("_dchars"),
+        simple_tokens(t).alias("_toks"),
+    )
+    g2 = base.select(id_col, F.explode(word_ngrams(F.col("_toks"), 2)).alias("g"))
+    top2 = (
+        g2.groupBy(id_col, "g").count()
+        .groupBy(id_col)
+        .agg(F.max(F.col("count") * F.length("g")).alias("_m2"))
+    )
+    g3 = base.select(id_col, F.explode(word_ngrams(F.col("_toks"), 3)).alias("g"))
+    d3 = (
+        g3.groupBy(id_col, "g").count()
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("count") >= 2, F.col("count") * F.length("g"))
+                .otherwise(F.lit(0))
+            ).alias("_dm3"),
+            F.sum(F.col("count") * F.length("g")).alias("_tm3"),
+        )
+    )
+    out = base.join(top2, id_col, "left").join(d3, id_col, "left")
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num * F.lit(1.0) / den).otherwise(F.lit(0.0)), 4
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        frac(F.col("n_lines") - F.col("_ndl"), F.col("n_lines")).alias("dup_line_frac"),
+        frac(F.col("_lchars") - F.col("_dchars"), F.col("_lchars")).alias("dup_line_char_frac"),
+        frac(F.coalesce(F.col("_m2"), F.lit(0)), F.col("_tlen")).alias("top2_char_frac"),
+        frac(F.coalesce(F.col("_dm3"), F.lit(0)), F.coalesce(F.col("_tm3"), F.lit(0))).alias("dup3_char_frac"),
+    )
+
+
 FP_BASE = 31  # polynomial base; 8 codepoints * 31^7 stays < 2^58 (no mod)
 
 

@@ -181,3 +181,62 @@ def test_canonical_url_rules(spark):
     groups = url_duplicate_groups(dup).collect()
     assert len(groups) == 1
     assert groups[0]["n_variants"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition signals against hand-derived values: line 'xx
+    yy' repeated 3x, 2-gram 'xx yy' heaviest, 3-grams crossing the
+    repeat boundary duplicated."""
+    from document_retrieval_system_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb\nxx yy\nxx yy\nxx yy"),
+            (2, "unique line one\nsecond distinct line"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    r1 = rows[1]
+    # 4 lines, 2 distinct -> 0.5; chars 26 total, 16 distinct -> 10/26
+    assert r1["n_lines"] == 4 and r1["dup_line_frac"] == 0.5
+    assert r1["dup_line_char_frac"] == round(10 / 26, 4)
+    # heaviest 2-gram: 'xx yy' x3, mass 15 over 29 text chars
+    assert r1["top2_char_frac"] == round(15 / 29, 4)
+    # 3-grams: 'xx yy xx' x2 + 'yy xx yy' x2 duplicated, 8 grams of len 8
+    assert r1["dup3_char_frac"] == 0.5
+    r2 = rows[2]
+    assert r2["dup_line_frac"] == 0.0 and r2["dup_line_char_frac"] == 0.0
+    assert r2["dup3_char_frac"] == 0.0 and r2["n_lines"] == 2
+    r3 = rows[3]
+    assert r3["n_lines"] == 0 and r3["top2_char_frac"] == 0.0
+    assert r3["dup_line_frac"] == 0.0
+
+
+def test_paragraph_duplicate_groups(spark):
+    """Exact paragraph dedup: trimmed >=20-char paragraphs shared by >=2
+    docs group under md5 with min-doc representative; same-doc repeats
+    alone don't qualify; short fragments are dropped."""
+    from document_retrieval_system_spark.operators.dedup import (
+        paragraph_duplicate_groups,
+    )
+
+    shared = "alpha paragraph shared across docs"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "\nunique paragraph number one here"),
+            (2, shared + "\nsomething else entirely different"),
+            (3, "short\n" + shared),
+            (4, "  " + shared + "  \nxx"),
+            (5, "beta beta beta beta beta\nbeta beta beta beta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = paragraph_duplicate_groups(docs).collect()
+    assert len(got) == 1
+    g = got[0]
+    import hashlib
+
+    assert g["para_hash"] == hashlib.md5(shared.encode()).hexdigest()
+    assert g["keep_id"] == 1 and g["n_docs"] == 4 and g["n_occur"] == 4
