@@ -1099,6 +1099,153 @@ ORDER BY cosine DESC, vec_id LIMIT {k}"""
 SQL_ANN_IVF = _sql_ann_ivf
 
 
+PQ_M, PQ_KSUB, PQ_SEED, PQ_RERANK = 8, 16, 13, 50
+_PQ_ITERS, _PQ_SAMPLE = 10, 100_000
+_pq_books_cache: dict = {}
+
+
+def _pq_fitted_books(sf_dir: str):
+    """DATA-FITTED PQ codebooks, driver-side pyarrow+numpy twin of
+    similarity.pq_codebooks (same md5-ranked sample, same single seeded
+    PCG64 stream drawn per subspace in order, same fixed-iteration Lloyd
+    in float64) — shared by the Spark entry and the call-time oracle SQL
+    builder exactly like _ivf_fitted_cents."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (os.path.abspath(path), PQ_M, PQ_KSUB, PQ_SEED)
+    if key in _pq_books_cache:
+        return _pq_books_cache[key]
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    ranked = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(f"{ids[i]}{PQ_SEED}".encode()).hexdigest(),
+    )[:_PQ_SAMPLE]
+    x = np.asarray([vecs[i] for i in ranked], dtype=np.float64)
+    dsub = x.shape[1] // PQ_M
+    rng = np.random.default_rng(PQ_SEED)
+    books = np.empty((PQ_M, PQ_KSUB, dsub))
+    for j in range(PQ_M):
+        xj = x[:, j * dsub : (j + 1) * dsub]
+        cents = xj[rng.choice(len(xj), size=min(PQ_KSUB, len(xj)), replace=False)]
+        for _ in range(_PQ_ITERS):
+            d = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                m = assign == c
+                if m.any():
+                    cents[c] = xj[m].mean(axis=0)
+        books[j] = cents
+    _pq_books_cache[key] = books
+    return books
+
+
+def _ensure_pq_index(spark, sf_dir: str) -> str:
+    books = _pq_fitted_books(sf_dir)
+    import hashlib
+
+    bfp = hashlib.md5(books.tobytes()).hexdigest()[:10]
+    params = f"pq{PQ_M}x{PQ_KSUB}-fit-{bfp}"
+    idx = _entry_cache_dir("pq", sf_dir, "embeddings.parquet", params)
+    if not os.path.exists(idx):
+        tmp = f"{idx}.tmp-{os.getpid()}"
+        similarity.build_pq_index(_emb(spark, sf_dir), tmp, books)
+        _publish_cache_dir(tmp, idx)
+    return idx
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: the embeddings table is stored as 4-bit
+    x 8-subspace packed codes (BIGINT, ~4 B/vector — 64x smaller than
+    the raw float32 vectors), scanned with asymmetric-distance lookups
+    against the query's literal distance tables, then the top-RERANK
+    approximate matches are exact-cosine reranked.  Codebooks are
+    FITTED on this sf_dir's data (deterministic sampled Lloyd)."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    books = _pq_fitted_books(sf_dir)
+    idx = _ensure_pq_index(spark, sf_dir)
+    return similarity.pq_topk(
+        spark, idx, emb, [float(x) for x in qvec], books, k=10,
+        rerank=PQ_RERANK, pre_filter=F.col("vec_id") > 0,
+    ).select("vec_id", "cosine")
+
+
+def _sql_ann_pq(k: int = 10) -> str:
+    """Oracle twin of the PQ path: fitted-codebook literals -> per
+    (vector, subspace) argmin code (ordered-fold distances, ties to the
+    lower centroid id) -> ADC via the query's distance-table literals
+    (list_sum over subspaces in order, matching the Spark unrolled
+    0.0 + ... fold) -> top-RERANK by (adc, vec_id) -> exact-cosine
+    rerank."""
+    books = _pq_fitted_books(_oracle_sf_dir())
+    m, ksub, dsub = books.shape
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(_oracle_sf_dir(), "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    qrow = {i: v for i, v in zip(t.column("vec_id").to_pylist(),
+                                 t.column("embedding").to_pylist()) if i == 0}
+    dt = similarity.pq_distance_tables([float(x) for x in qrow[0]], books)
+
+    book_rows = ",\n    ".join(
+        f"({j}, {c}, [" + ", ".join(repr(float(x)) for x in books[j][c]) + "]::DOUBLE[])"
+        for j in range(m) for c in range(ksub)
+    )
+    dt_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in dt[j]) + "]" for j in range(m)
+    ) + "]::DOUBLE[][]"
+    return f"""
+WITH books(j, cid, c) AS (VALUES
+    {book_rows}),
+enc AS (
+  SELECT e.vec_id, b.j, b.cid,
+         list_sum(list_transform(range(1, {dsub + 1}),
+                  i -> (e.embedding[b.j * {dsub} + i]::DOUBLE - b.c[i])
+                       * (e.embedding[b.j * {dsub} + i]::DOUBLE - b.c[i]))) AS d
+  FROM embeddings e CROSS JOIN books b
+),
+codes AS (
+  SELECT vec_id, list(cid ORDER BY j) AS cs FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM enc
+  ) WHERE rn = 1 GROUP BY vec_id
+),
+adc AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, {m + 1}),
+                                 j -> ({dt_lit})[j][cs[j] + 1])) AS adc
+  FROM codes WHERE vec_id > 0
+),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc, vec_id) AS rn FROM adc
+  ) WHERE rn <= {PQ_RERANK}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ver AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                 i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na
+  FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q
+),
+qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) AS qnorm FROM q)
+SELECT vec_id, round(dot / (na * qnorm), 6) AS cosine
+FROM ver CROSS JOIN qn
+ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+SQL_ANN_PQ = _sql_ann_pq
+
+
 def q_ta_langid(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -2038,6 +2185,7 @@ QUERIES = {
     "t7_keywords": (q_t7_keywords, SQL_T7),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
+    "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_PQ),
     # Spark-only (rows-only driver check)
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),

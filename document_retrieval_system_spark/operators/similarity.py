@@ -324,3 +324,131 @@ def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, sig_bits: int = 16
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the compressed-codes scale path
+# ---------------------------------------------------------------------------
+#
+# A 64-dim float32 vector is 256 B; its PQ code (m=8 subspaces x 4-bit
+# centroid id) is 4 B packed into one INT — 64x smaller, so at 10^12
+# vectors the code table fits where the raw vectors cannot, and the ADC
+# scan is m table lookups per row instead of a d-dim dot product.
+# Asymmetric distance (query stays exact, data is quantized) + exact
+# rerank of the top-R keeps recall.
+
+
+def pq_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 10,
+                 seed: int = 13, sample: int = 100_000,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Per-subspace deterministic Lloyd k-means -> (m, ksub, d/m)
+    codebooks.  Same sampling contract as ivf_centroids: rows ranked by
+    md5(id || seed) so the sample — and therefore the fitted books — are
+    a pure function of (data, seed), which lets the DuckDB oracle embed
+    them as literals.  Fit cost is O(sample), independent of corpus
+    size."""
+    rows = (
+        emb.select(
+            F.col(vec_col),
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        xj = x[:, j * dsub : (j + 1) * dsub]
+        cents = xj[rng.choice(len(xj), size=min(ksub, len(xj)), replace=False)]
+        for _ in range(iters):
+            dist = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(len(cents)):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xj[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode_col(vec_col, books: np.ndarray):
+    """Packed PQ code column: per subspace, argmin of the ordered-fold
+    squared distance to that subspace's ksub codebook entries (ties to
+    the lower centroid id, the ivf_assign_col tiebreak), then all m
+    4-bit ids packed little-endian into one BIGINT — 32 payload bits at
+    m=8, which parquet bit-packs down to ~4 B regardless of vector
+    width.  Codebooks ship as m parsed literal matrices; everything
+    stays JVM-side."""
+    m, ksub, dsub = books.shape
+    if ksub > 16:
+        raise ValueError("packed codes assume ksub <= 16 (4 bits each)")
+    packed = F.lit(0).cast("long")
+    for j in range(m):
+        sub = F.slice(vec_col, j * dsub + 1, dsub)
+        pairs = F.transform(
+            _lit_matrix(books[j]),
+            lambda c, i: F.struct(_sq_dist_expr(sub, c).alias("d"), i.alias("cid")),
+        )
+        code_j = F.array_sort(pairs)[0]["cid"]
+        packed = packed + F.shiftleft(code_j.cast("long"), 4 * j)
+    return packed
+
+
+def build_pq_index(emb: DataFrame, index_dir: str, books: np.ndarray,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Persist the code table: (id, pq_code INT).  This is the structure
+    that scales — the codes for 10^12 vectors are ~4 TB (vs 256 TB raw)
+    and scan as a two-column parquet with full predicate/column
+    pruning."""
+    emb.select(
+        F.col(id_col), pq_encode_col(F.col(vec_col), books).alias("pq_code")
+    ).write.mode("overwrite").parquet(index_dir)
+
+
+def pq_distance_tables(query: list[float], books: np.ndarray) -> np.ndarray:
+    """(m, ksub) asymmetric distance tables: exact query subvector vs
+    each codebook entry.  Computed once per query, driver-side."""
+    m, ksub, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    return ((books - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)
+
+
+def pq_topk(spark, index_dir: str, emb: DataFrame, query: list[float],
+            books: np.ndarray, k: int = 10, rerank: int = 50,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            pre_filter=None) -> DataFrame:
+    """ANN over the PQ code table: ADC scan (per row: m shift-mask
+    lookups into the query's literal distance tables — no vector read),
+    keep the rerank best approximate rows, then join those few ids back
+    to the raw vectors for exact-cosine rerank.  The big side touches
+    only (id, pq_code); the rerank join's left side is `rerank` rows, so
+    Spark broadcasts it against the vector table."""
+    m, ksub, dsub = books.shape
+    dt = pq_distance_tables(query, books)
+    codes = spark.read.parquet(index_dir)
+    if pre_filter is not None:
+        codes = codes.filter(pre_filter)
+    dtm = _lit_matrix(dt)
+    # unrolled ADC: 0.0 + dt[0][code&15] + dt[1][(code>>4)&15] + ... —
+    # the same left fold order as the oracle's list_sum over range(1,m+1)
+    adc = F.lit(0.0)
+    for j in range(m):
+        code_j = F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))
+        adc = adc + F.element_at(F.element_at(dtm, j + 1), (code_j + 1).cast("int"))
+    cand = (
+        codes.select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    return (
+        cosine_scores(emb.join(cand, id_col, "leftsemi"), query, id_col, vec_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -541,3 +541,54 @@ def test_mp4_container_parse_real_sample_tables(spark):
     # type(4) + version/flags(4) + creation(4) + modification(4) = 16
     zt[i + 16 : i + 20] = b"\x00\x00\x00\x00"  # timescale = 0
     assert parse_mp4_samples(bytes(zt)) is None
+
+
+def test_pq_ann_codes_and_recall(spark, tmp_path):
+    """Product-quantization ANN: packed BIGINT codes round-trip the
+    per-subspace argmin (unpack == recompute), the codebook fit is
+    deterministic, ADC+rerank recall beats the no-rerank floor, and the
+    ADC scan reads only (vec_id, pq_code) — never the raw vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from document_retrieval_system_spark.operators import similarity as S
+    from document_retrieval_system_spark.plans.explain import read_schemas
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((300, 32)).astype(np.float32)
+    # plant near-neighbors of vector 0 so PQ has true structure to find
+    for i in range(1, 6):
+        base[i] = base[0] + rng.standard_normal(32).astype(np.float32) * 0.05
+    emb = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    books = S.pq_codebooks(emb, m=8, ksub=16, seed=3, sample=300)
+    assert books.shape == (8, 16, 4)
+    assert np.array_equal(books, S.pq_codebooks(emb, m=8, ksub=16, seed=3, sample=300))
+
+    idx = str(tmp_path / "pq")
+    S.build_pq_index(emb, idx, books)
+    codes = {r["vec_id"]: r["pq_code"] for r in spark.read.parquet(idx).collect()}
+    assert len(codes) == 300
+    # unpacked codes == numpy recompute of the per-subspace argmin
+    x = base.astype(np.float64)
+    for vid in (0, 7, 123):
+        for j in range(8):
+            sub = x[vid, j * 4 : (j + 1) * 4]
+            d = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+            assert (codes[vid] >> (4 * j)) & 15 == int(d.argmin()), (vid, j)
+
+    q = base[0].astype(float).tolist()
+    top = S.pq_topk(spark, idx, emb, q, books, k=5, rerank=40,
+                    pre_filter=F.col("vec_id") > 0)
+    got = [r["vec_id"] for r in top.collect()]
+    exact = [r["vec_id"] for r in
+             S.cosine_topk(emb.filter(F.col("vec_id") > 0), q, k=5).collect()]
+    assert set(got) & set(exact) >= set(exact[:3]), (got, exact)
+    # the planted neighbors dominate
+    assert set(got[:3]) <= {1, 2, 3, 4, 5}
+    # ADC leg scans the code table only: no embedding column in its scan
+    schemas = read_schemas(top).splitlines()
+    assert any("pq_code" in s for s in schemas), schemas
+    assert not any("pq_code" in s and "embedding" in s for s in schemas), schemas
