@@ -42,7 +42,7 @@ def main() -> None:
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_ngram_jaccard3",
         "dedup_clusters", "dedup_winnow", "emb_neardup", "ann_cosine_topk", "ann_lsh_topk",
-        "ann_ivf_topk", "ann_pq_topk", "ta_langid", "ta_quality", "ta_fingerprint", "ta_pii",
+        "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ta_langid", "ta_quality", "ta_fingerprint", "ta_pii",
         "ta_repetition", "dedup_paragraph",
         "corpus_sample", "corpus_token_budget", "corpus_decontaminate", "url_dedup", "u2_boost_rescore",
         "e2e_search_pipeline",

@@ -1246,6 +1246,200 @@ ORDER BY cosine DESC, vec_id LIMIT {k}"""
 SQL_ANN_PQ = _sql_ann_pq
 
 
+_ivfpq_books_cache: dict = {}
+
+
+def _ivfpq_fitted_books(sf_dir: str):
+    """Residual PQ codebooks over the fitted IVF centroids — pyarrow+
+    numpy twin of similarity.ivfpq_residual_books (same md5-ranked
+    sample, numpy-argmin cell assignment with first-index = lower-cid
+    ties, one seeded PCG64 stream drawn per subspace in order)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (os.path.abspath(path), PQ_M, PQ_KSUB, PQ_SEED, IVF_K, IVF_SEED)
+    if key in _ivfpq_books_cache:
+        return _ivfpq_books_cache[key]
+    cents = _ivf_fitted_cents(sf_dir)
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    ranked = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(f"{ids[i]}{PQ_SEED}".encode()).hexdigest(),
+    )[:_PQ_SAMPLE]
+    x = np.asarray([vecs[i] for i in ranked], dtype=np.float64)
+    assign = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    resid = x - cents[assign]
+    dsub = x.shape[1] // PQ_M
+    rng = np.random.default_rng(PQ_SEED)
+    books = np.empty((PQ_M, PQ_KSUB, dsub))
+    for j in range(PQ_M):
+        xj = resid[:, j * dsub : (j + 1) * dsub]
+        c = xj[rng.choice(len(xj), size=min(PQ_KSUB, len(xj)), replace=False)]
+        for _ in range(_PQ_ITERS):
+            d = ((xj[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for k_ in range(len(c)):
+                m = a == k_
+                if m.any():
+                    c[k_] = xj[m].mean(axis=0)
+        books[j] = c
+    _ivfpq_books_cache[key] = books
+    return books
+
+
+def _ensure_ivfpq_index(spark, sf_dir: str) -> str:
+    cents = _ivf_fitted_cents(sf_dir)
+    books = _ivfpq_fitted_books(sf_dir)
+    import hashlib
+
+    fp = hashlib.md5(cents.tobytes() + books.tobytes()).hexdigest()[:10]
+    params = f"ivfpq{IVF_K}x{PQ_M}x{PQ_KSUB}-fit-{fp}"
+    idx = _entry_cache_dir("ivfpq", sf_dir, "embeddings.parquet", params)
+    if not os.path.exists(idx):
+        tmp = f"{idx}.tmp-{os.getpid()}"
+        similarity.build_ivfpq_index(_emb(spark, sf_dir), tmp, cents, books)
+        _publish_cache_dir(tmp, idx)
+    return idx
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN: the code table is partitioned by IVF cell
+    (a query scans nprobe partitions — partition pruning) AND each row
+    is a packed 4-bit residual PQ code (~4 B — column pruning keeps the
+    scan tiny), ADC-scored against per-cell distance tables, then
+    exact-cosine reranked.  Both pruning axes of the 10^12-vector
+    design in one layout; centroids and residual codebooks FITTED on
+    this sf_dir's data."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cents = _ivf_fitted_cents(sf_dir)
+    books = _ivfpq_fitted_books(sf_dir)
+    idx = _ensure_ivfpq_index(spark, sf_dir)
+    return similarity.ivfpq_topk(
+        spark, idx, emb, qvec, cents, books, k=10, nprobe=IVF_NPROBE,
+        rerank=PQ_RERANK, pre_filter=F.col("vec_id") > 0,
+    ).select("vec_id", "cosine")
+
+
+def _sql_ann_ivfpq(k: int = 10) -> str:
+    """Oracle twin of the IVF-PQ path.  The probe set/order and the
+    per-probed-cell ADC distance tables are computed ONCE driver-side
+    (numpy) and embedded as literals in BOTH engines — same contract as
+    the flat-PQ oracle — so the only SQL-computed floats are the cell
+    assignment and residual-code argmins, which reuse the proven
+    ordered-fold shape."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = _oracle_sf_dir()
+    cents = _ivf_fitted_cents(sf)
+    books = _ivfpq_fitted_books(sf)
+    m, ksub, dsub = books.shape
+    t = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    q = None
+    for i, v in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()):
+        if i == 0:
+            q = np.asarray([float(x) for x in v], dtype=np.float64)
+    cells = similarity.query_cells([float(x) for x in q], cents, IVF_NPROBE)
+    probed = [int(c[1:]) for c in cells]  # strip the bucket tag
+    dt3 = [similarity.pq_distance_tables((q - cents[cid]).tolist(), books)
+           for cid in probed]
+
+    cent_rows = ",\n    ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in cents[i]) + "]::DOUBLE[])"
+        for i in range(len(cents))
+    )
+    book_rows = ",\n    ".join(
+        f"({j}, {c}, [" + ", ".join(repr(float(x)) for x in books[j][c]) + "]::DOUBLE[])"
+        for j in range(m) for c in range(ksub)
+    )
+    probe_rows = ",\n    ".join(
+        f"({p + 1}, {cid})" for p, cid in enumerate(probed)
+    )
+    dt_lit = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in dt3[p][j]) + "]"
+            for j in range(m)
+        ) + "]" for p in range(len(probed))
+    ) + "]::DOUBLE[][][]"
+    return f"""
+WITH cents(cid, ct) AS (VALUES
+    {cent_rows}),
+books(j, bc, b) AS (VALUES
+    {book_rows}),
+probes(p, cid) AS (VALUES
+    {probe_rows}),
+celld AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                  i -> (e.embedding[i]::DOUBLE - c.ct[i])
+                       * (e.embedding[i]::DOUBLE - c.ct[i]))) AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM celld
+  ) WHERE rn = 1
+),
+enc AS (
+  SELECT e.vec_id, bk.j, bk.bc,
+         list_sum(list_transform(range(1, {dsub + 1}),
+                  i -> (e.embedding[bk.j * {dsub} + i]::DOUBLE
+                        - c.ct[bk.j * {dsub} + i] - bk.b[i])
+                       * (e.embedding[bk.j * {dsub} + i]::DOUBLE
+                          - c.ct[bk.j * {dsub} + i] - bk.b[i]))) AS d
+  FROM embeddings e
+  JOIN assign a USING (vec_id)
+  JOIN probes pr ON pr.cid = a.cid
+  JOIN cents c ON c.cid = a.cid
+  CROSS JOIN books bk
+),
+codes AS (
+  SELECT vec_id, list(bc ORDER BY j) AS cs FROM (
+    SELECT vec_id, j, bc,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, bc) AS rn
+    FROM enc
+  ) WHERE rn = 1 GROUP BY vec_id
+),
+adc AS (
+  SELECT cd.vec_id,
+         list_sum(list_transform(range(1, {m + 1}),
+                                 j -> ({dt_lit})[pr.p][j][cd.cs[j] + 1])) AS adc
+  FROM codes cd
+  JOIN assign a ON a.vec_id = cd.vec_id
+  JOIN probes pr ON pr.cid = a.cid
+  WHERE cd.vec_id > 0
+),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc, vec_id) AS rn FROM adc
+  ) WHERE rn <= {PQ_RERANK}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ver AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                 i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na
+  FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q
+),
+qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) AS qnorm FROM q)
+SELECT vec_id, round(dot / (na * qnorm), 6) AS cosine
+FROM ver CROSS JOIN qn
+ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+SQL_ANN_IVFPQ = _sql_ann_ivfpq
+
+
 def q_ta_langid(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -2186,6 +2380,7 @@ QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_PQ),
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ),
     # Spark-only (rows-only driver check)
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),

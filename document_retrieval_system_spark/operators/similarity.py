@@ -452,3 +452,130 @@ def pq_topk(spark, index_dir: str, emb: DataFrame, query: list[float],
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — cell-pruned scan over residual PQ codes (the composed layout)
+# ---------------------------------------------------------------------------
+#
+# IVF gives partition pruning (scan nprobe cells, not the corpus); PQ
+# gives 4 B rows inside each cell.  Encoding the RESIDUAL (vector minus
+# its cell centroid) instead of the raw vector is what makes the two
+# compose: residuals are centered near zero, so one shared codebook set
+# quantizes every cell well.
+
+
+def ivfpq_residual_books(emb: DataFrame, cents: np.ndarray, m: int = 8,
+                         ksub: int = 16, iters: int = 10, seed: int = 13,
+                         sample: int = 100_000, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> np.ndarray:
+    """PQ codebooks fitted on IVF residuals of the md5-ranked sample —
+    same determinism contract as pq_codebooks/ivf_centroids."""
+    rows = (
+        emb.select(
+            F.col(vec_col),
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    assign = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    resid = x - cents[assign]
+    d = resid.shape[1]
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        xj = resid[:, j * dsub : (j + 1) * dsub]
+        c = xj[rng.choice(len(xj), size=min(ksub, len(xj)), replace=False)]
+        for _ in range(iters):
+            dist = ((xj[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = dist.argmin(axis=1)
+            for k in range(len(c)):
+                mask = a == k
+                if mask.any():
+                    c[k] = xj[mask].mean(axis=0)
+        books[j] = c
+    return books
+
+
+def build_ivfpq_index(emb: DataFrame, index_dir: str, cents: np.ndarray,
+                      books: np.ndarray, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Persist (id, pq_code) partitioned by IVF cell; the code encodes
+    the residual vs the row's own cell centroid.  Rows are ~4 B and a
+    query touches nprobe partitions of them — both pruning axes at
+    once."""
+    # Stage the cell id and the residual as REAL columns before encoding.
+    # pq_encode_col references its input inside per-codebook-entry HOF
+    # lambdas, and Catalyst re-evaluates a captured ARGUMENT expression
+    # per element (no CSE): feeding it the raw residual EXPRESSION would
+    # recompute the 16-fold cell argmin m*ksub times per row (measured
+    # 47 s for 5k rows at sf0.1; 1.5 s staged).  localCheckpoint hard-
+    # materializes the boundary — projection collapse would otherwise
+    # inline the aliases right back.
+    staged = emb.select(
+        F.col(id_col),
+        ivf_assign_col(F.col(vec_col), cents).alias("_cell"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        F.col(id_col),
+        F.concat(F.lit(_BUCKET_TAG), F.col("_cell").cast("string")).alias("ivf_cell"),
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(_lit_matrix(cents), F.col("_cell") + 1),
+            lambda a, b: a - b,
+        ).alias("_resid"),
+    ).localCheckpoint(eager=False)
+    (
+        staged.select(
+            F.col(id_col), F.col("ivf_cell"),
+            pq_encode_col(F.col("_resid"), books).alias("pq_code"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(index_dir)
+    )
+
+
+def ivfpq_topk(spark, index_dir: str, emb: DataFrame, query: list[float],
+               cents: np.ndarray, books: np.ndarray, k: int = 10,
+               nprobe: int = 4, rerank: int = 50, id_col: str = "vec_id",
+               vec_col: str = "embedding", pre_filter=None) -> DataFrame:
+    """Scan the nprobe nearest cells' code tables (partition pruning),
+    ADC each row against the distance tables of ITS cell's residual
+    query (q - centroid), keep the global top-R approximate ids, exact-
+    cosine rerank.  Per probed cell the tables are literals, so the
+    scan is still a pure column expression."""
+    m, ksub, dsub = books.shape
+    cells = query_cells(query, cents, nprobe)
+    q = np.asarray(query, dtype=np.float64)
+    codes = spark.read.parquet(index_dir).filter(F.col("ivf_cell").isin(cells))
+    if pre_filter is not None:
+        codes = codes.filter(pre_filter)
+    adc = None
+    for cell in cells:
+        cid = int(cell[len(_BUCKET_TAG):])
+        dt = pq_distance_tables((q - cents[cid]).tolist(), books)
+        dtm = _lit_matrix(dt)
+        cell_adc = F.lit(0.0)
+        for j in range(m):
+            code_j = F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))
+            cell_adc = cell_adc + F.element_at(
+                F.element_at(dtm, j + 1), (code_j + 1).cast("int")
+            )
+        branch = (F.col("ivf_cell") == cell, cell_adc)
+        adc = F.when(*branch) if adc is None else adc.when(*branch)
+    cand = (
+        codes.select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    return (
+        cosine_scores(emb.join(cand, id_col, "leftsemi"), query, id_col, vec_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -592,3 +592,51 @@ def test_pq_ann_codes_and_recall(spark, tmp_path):
     schemas = read_schemas(top).splitlines()
     assert any("pq_code" in s for s in schemas), schemas
     assert not any("pq_code" in s and "embedding" in s for s in schemas), schemas
+
+
+def test_ivfpq_ann_composed_layout(spark, tmp_path):
+    """IVF-PQ composition: residual codes match a numpy recompute, the
+    scan prunes to the probed cells' partitions (PartitionFilters), and
+    ADC+rerank recovers the planted neighbors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from document_retrieval_system_spark.operators import similarity as S
+    from document_retrieval_system_spark.plans.explain import formatted_plan
+
+    rng = np.random.default_rng(23)
+    # clustered data so IVF cells are meaningful
+    centers = rng.standard_normal((4, 32)) * 5
+    base = np.vstack([
+        centers[i % 4] + rng.standard_normal(32) * 0.5 for i in range(240)
+    ]).astype(np.float32)
+    for i in range(1, 5):
+        base[i] = base[0] + rng.standard_normal(32).astype(np.float32) * 0.03
+    emb = spark.createDataFrame(
+        [(int(i), base[i].tolist()) for i in range(240)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = S.ivf_centroids(emb, n_clusters=4, seed=5, sample=240)
+    books = S.ivfpq_residual_books(emb, cents, m=8, ksub=16, seed=5, sample=240)
+    idx = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(emb, idx, cents, books)
+
+    rows = {r["vec_id"]: r for r in spark.read.parquet(idx).collect()}
+    assert len(rows) == 240
+    x = base.astype(np.float64)
+    for vid in (0, 31, 119):
+        cell = int(((cents - x[vid][None, :]) ** 2).sum(axis=1).argmin())
+        assert rows[vid]["ivf_cell"] == f"b{cell}"
+        resid = x[vid] - cents[cell]
+        for j in range(8):
+            d = ((books[j] - resid[j * 4 : (j + 1) * 4][None, :]) ** 2).sum(axis=1)
+            assert (rows[vid]["pq_code"] >> (4 * j)) & 15 == int(d.argmin()), (vid, j)
+
+    q = base[0].astype(float).tolist()
+    top = S.ivfpq_topk(spark, idx, emb, q, cents, books, k=5, nprobe=2,
+                       rerank=30, pre_filter=F.col("vec_id") > 0)
+    got = [r["vec_id"] for r in top.collect()]
+    assert set(got[:4]) == {1, 2, 3, 4}, got
+    # partition pruning: the plan's scan carries an ivf_cell PartitionFilters
+    plan = formatted_plan(top)
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
