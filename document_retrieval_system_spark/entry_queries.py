@@ -1127,20 +1127,9 @@ def _pq_fitted_books(sf_dir: str):
         key=lambda i: hashlib.md5(f"{ids[i]}{PQ_SEED}".encode()).hexdigest(),
     )[:_PQ_SAMPLE]
     x = np.asarray([vecs[i] for i in ranked], dtype=np.float64)
-    dsub = x.shape[1] // PQ_M
-    rng = np.random.default_rng(PQ_SEED)
-    books = np.empty((PQ_M, PQ_KSUB, dsub))
-    for j in range(PQ_M):
-        xj = x[:, j * dsub : (j + 1) * dsub]
-        cents = xj[rng.choice(len(xj), size=min(PQ_KSUB, len(xj)), replace=False)]
-        for _ in range(_PQ_ITERS):
-            d = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(len(cents)):
-                m = assign == c
-                if m.any():
-                    cents[c] = xj[m].mean(axis=0)
-        books[j] = cents
+    books = similarity.fit_subspace_books(
+        x, PQ_M, PQ_KSUB, _PQ_ITERS, np.random.default_rng(PQ_SEED)
+    )
     _pq_books_cache[key] = books
     return books
 
@@ -1274,20 +1263,9 @@ def _ivfpq_fitted_books(sf_dir: str):
     x = np.asarray([vecs[i] for i in ranked], dtype=np.float64)
     assign = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     resid = x - cents[assign]
-    dsub = x.shape[1] // PQ_M
-    rng = np.random.default_rng(PQ_SEED)
-    books = np.empty((PQ_M, PQ_KSUB, dsub))
-    for j in range(PQ_M):
-        xj = resid[:, j * dsub : (j + 1) * dsub]
-        c = xj[rng.choice(len(xj), size=min(PQ_KSUB, len(xj)), replace=False)]
-        for _ in range(_PQ_ITERS):
-            d = ((xj[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            a = d.argmin(axis=1)
-            for k_ in range(len(c)):
-                m = a == k_
-                if m.any():
-                    c[k_] = xj[m].mean(axis=0)
-        books[j] = c
+    books = similarity.fit_subspace_books(
+        resid, PQ_M, PQ_KSUB, _PQ_ITERS, np.random.default_rng(PQ_SEED)
+    )
     _ivfpq_books_cache[key] = books
     return books
 

@@ -338,30 +338,17 @@ def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, sig_bits: int = 16
 # rerank of the top-R keeps recall.
 
 
-def pq_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 10,
-                 seed: int = 13, sample: int = 100_000,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
-    """Per-subspace deterministic Lloyd k-means -> (m, ksub, d/m)
-    codebooks.  Same sampling contract as ivf_centroids: rows ranked by
-    md5(id || seed) so the sample — and therefore the fitted books — are
-    a pure function of (data, seed), which lets the DuckDB oracle embed
-    them as literals.  Fit cost is O(sample), independent of corpus
-    size."""
-    rows = (
-        emb.select(
-            F.col(vec_col),
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))).alias("_h"),
-        )
-        .orderBy("_h")
-        .limit(sample)
-        .collect()
-    )
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+def fit_subspace_books(x: np.ndarray, m: int, ksub: int, iters: int,
+                       rng: np.random.Generator) -> np.ndarray:
+    """The ONE per-subspace Lloyd fit: (n, d) float64 sample -> (m, ksub,
+    d/m) codebooks.  Every PQ fitter — Spark-sampled or pyarrow-sampled,
+    raw or residual — calls this, so the init-draw stream (one `choice`
+    per subspace, in order) and the fixed-iteration update rule can
+    never diverge between the engines that must agree bit-for-bit."""
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    rng = np.random.default_rng(seed)
     books = np.empty((m, ksub, dsub))
     for j in range(m):
         xj = x[:, j * dsub : (j + 1) * dsub]
@@ -375,6 +362,35 @@ def pq_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 10,
                     cents[c] = xj[mask].mean(axis=0)
         books[j] = cents
     return books
+
+
+def _md5_ranked_sample(emb: DataFrame, seed: int, sample: int,
+                       vec_col: str, id_col: str) -> np.ndarray:
+    """Deterministic sample as float64 matrix: rows ranked by
+    md5(id || seed) — never file/partition order (see ivf_centroids)."""
+    rows = (
+        emb.select(
+            F.col(vec_col),
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(sample)
+        .collect()
+    )
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
+def pq_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16, iters: int = 10,
+                 seed: int = 13, sample: int = 100_000,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Per-subspace deterministic Lloyd k-means -> (m, ksub, d/m)
+    codebooks.  Same sampling contract as ivf_centroids: rows ranked by
+    md5(id || seed) so the sample — and therefore the fitted books — are
+    a pure function of (data, seed), which lets the DuckDB oracle embed
+    them as literals.  Fit cost is O(sample), independent of corpus
+    size."""
+    x = _md5_ranked_sample(emb, seed, sample, vec_col, id_col)
+    return fit_subspace_books(x, m, ksub, iters, np.random.default_rng(seed))
 
 
 def pq_encode_col(vec_col, books: np.ndarray):
@@ -411,6 +427,18 @@ def build_pq_index(emb: DataFrame, index_dir: str, books: np.ndarray,
     ).write.mode("overwrite").parquet(index_dir)
 
 
+def _adc_expr(dtm, m: int, code_col: str = "pq_code"):
+    """Unrolled asymmetric-distance lookup sum over a literal (m, ksub)
+    distance-table matrix: 0.0 + dt[0][code&15] + dt[1][(code>>4)&15] +
+    ... — the same left fold order as the oracle's list_sum over
+    range(1, m+1)."""
+    adc = F.lit(0.0)
+    for j in range(m):
+        code_j = F.shiftright(F.col(code_col), 4 * j).bitwiseAND(F.lit(15))
+        adc = adc + F.element_at(F.element_at(dtm, j + 1), (code_j + 1).cast("int"))
+    return adc
+
+
 def pq_distance_tables(query: list[float], books: np.ndarray) -> np.ndarray:
     """(m, ksub) asymmetric distance tables: exact query subvector vs
     each codebook entry.  Computed once per query, driver-side."""
@@ -434,13 +462,7 @@ def pq_topk(spark, index_dir: str, emb: DataFrame, query: list[float],
     codes = spark.read.parquet(index_dir)
     if pre_filter is not None:
         codes = codes.filter(pre_filter)
-    dtm = _lit_matrix(dt)
-    # unrolled ADC: 0.0 + dt[0][code&15] + dt[1][(code>>4)&15] + ... —
-    # the same left fold order as the oracle's list_sum over range(1,m+1)
-    adc = F.lit(0.0)
-    for j in range(m):
-        code_j = F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))
-        adc = adc + F.element_at(F.element_at(dtm, j + 1), (code_j + 1).cast("int"))
+    adc = _adc_expr(_lit_matrix(dt), m)
     cand = (
         codes.select(F.col(id_col), adc.alias("adc"))
         .orderBy(F.asc("adc"), F.asc(id_col))
@@ -470,35 +492,12 @@ def ivfpq_residual_books(emb: DataFrame, cents: np.ndarray, m: int = 8,
                          sample: int = 100_000, vec_col: str = "embedding",
                          id_col: str = "vec_id") -> np.ndarray:
     """PQ codebooks fitted on IVF residuals of the md5-ranked sample —
-    same determinism contract as pq_codebooks/ivf_centroids."""
-    rows = (
-        emb.select(
-            F.col(vec_col),
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))).alias("_h"),
-        )
-        .orderBy("_h")
-        .limit(sample)
-        .collect()
-    )
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    same determinism contract as pq_codebooks/ivf_centroids, same fit
+    core (`fit_subspace_books`)."""
+    x = _md5_ranked_sample(emb, seed, sample, vec_col, id_col)
     assign = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     resid = x - cents[assign]
-    d = resid.shape[1]
-    dsub = d // m
-    rng = np.random.default_rng(seed)
-    books = np.empty((m, ksub, dsub))
-    for j in range(m):
-        xj = resid[:, j * dsub : (j + 1) * dsub]
-        c = xj[rng.choice(len(xj), size=min(ksub, len(xj)), replace=False)]
-        for _ in range(iters):
-            dist = ((xj[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            a = dist.argmin(axis=1)
-            for k in range(len(c)):
-                mask = a == k
-                if mask.any():
-                    c[k] = xj[mask].mean(axis=0)
-        books[j] = c
-    return books
+    return fit_subspace_books(resid, m, ksub, iters, np.random.default_rng(seed))
 
 
 def build_ivfpq_index(emb: DataFrame, index_dir: str, cents: np.ndarray,
@@ -559,14 +558,7 @@ def ivfpq_topk(spark, index_dir: str, emb: DataFrame, query: list[float],
     for cell in cells:
         cid = int(cell[len(_BUCKET_TAG):])
         dt = pq_distance_tables((q - cents[cid]).tolist(), books)
-        dtm = _lit_matrix(dt)
-        cell_adc = F.lit(0.0)
-        for j in range(m):
-            code_j = F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))
-            cell_adc = cell_adc + F.element_at(
-                F.element_at(dtm, j + 1), (code_j + 1).cast("int")
-            )
-        branch = (F.col("ivf_cell") == cell, cell_adc)
+        branch = (F.col("ivf_cell") == cell, _adc_expr(_lit_matrix(dt), m))
         adc = F.when(*branch) if adc is None else adc.when(*branch)
     cand = (
         codes.select(F.col(id_col), adc.alias("adc"))

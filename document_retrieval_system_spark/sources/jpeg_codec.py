@@ -155,7 +155,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
         return None
     try:
         return _decode(payload)
-    except (ValueError, IndexError, struct.error, ZeroDivisionError):
+    except (ValueError, IndexError, struct.error, ZeroDivisionError,
+            OverflowError):
+        # OverflowError: a malformed DHT can declare DC categories > 18,
+        # whose magnitudes overflow the int32 coefficient block
         return None
 
 
@@ -169,8 +172,14 @@ def _decode(buf: bytes) -> np.ndarray | None:
         if buf[pos] != 0xFF:
             pos += 1
             continue
-        marker = buf[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        j = pos + 1
+        while j < len(buf) and buf[j] == 0xFF:
+            j += 1
+        if j >= len(buf):
+            break
+        marker = buf[j]
+        pos = j + 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
@@ -226,6 +235,13 @@ def _decode(buf: bytes) -> np.ndarray | None:
 
 def _decode_scan(buf, pos, frame, qt, huff, scan_tables, restart_interval):
     h, w, comps = frame
+    if len(comps) == 1:
+        # T.81 A.2.2/J.1: a single-component scan is NON-interleaved —
+        # the MCU is one data unit and the SOF sampling factors do not
+        # shape the entropy stream (they only relate components to each
+        # other, of which there are none)
+        cid, _, _, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -251,12 +267,16 @@ def _decode_scan(buf, pos, frame, qt, huff, scan_tables, restart_interval):
                     for bx in range(hs):
                         coef = np.zeros(64, dtype=np.int32)
                         s = dc_t.decode(br)
+                        if s > 11:  # baseline DC categories are 0-11
+                            raise ValueError("bad DC category")
                         pred[cid] += _extend(br.read(s), s)
                         coef[0] = pred[cid]
                         k = 1
                         while k < 64:
                             rs = ac_t.decode(br)
                             r, s = rs >> 4, rs & 15
+                            if s > 10:  # baseline AC sizes are 1-10
+                                raise ValueError("bad AC size")
                             if s == 0:
                                 if r != 15:
                                     break

@@ -773,8 +773,10 @@ def synthetic_media_df(spark, n: int = 64):
             elif fmt == 2:
                 payload, mime = make_png(px, filters=[0, 1, 2, 3, 4]), "image/png"
             elif fmt == 4:
+                # vary by i//3 — image rows all have i % 3 == 0, so a
+                # bare i % k would be constant across the fixture
                 payload = make_jpeg(px, subsample="420" if i % 2 else "444",
-                                    restart_interval=i % 3)
+                                    restart_interval=(i // 3) % 3)
                 mime = "image/jpeg"
             else:
                 pal = np.frombuffer(
@@ -793,15 +795,18 @@ def synthetic_media_df(spark, n: int = 64):
         else:
             mime = "video/mp4"
             if (i // 3) % 2 == 0:
-                # REAL MP4 container: sample tables resolve to these frames
+                # REAL MP4 container: sample tables resolve to these
+                # frames (frame_ms varies by i//3 — video rows all have
+                # i % 3 == 2, so i % 3 would be constant)
                 n_fr = 3 + i % 5
+                frame_ms = 400 + 200 * ((i // 3) % 3)
                 payload = make_mp4(
                     [hashlib.sha256(f"frame-{i}-{k}".encode()).digest()
                      for k in range(n_fr)],
-                    frame_ms=400 + 200 * (i % 3),
+                    frame_ms=frame_ms,
                     samples_per_chunk=2,
                 )
-                dur = n_fr * (400 + 200 * (i % 3))
+                dur = n_fr * frame_ms
             else:
                 payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
                 dur = 1000 * (i % 90)

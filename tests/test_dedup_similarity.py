@@ -640,3 +640,45 @@ def test_ivfpq_ann_composed_layout(spark, tmp_path):
     # partition pruning: the plan's scan carries an ivf_cell PartitionFilters
     plan = formatted_plan(top)
     assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+
+def test_jpeg_decoder_spec_edge_cases(spark):
+    """Review-found edge cases: 0xFF fill bytes before markers are legal
+    (T.81 B.1.1.2), a single-component scan is non-interleaved so SOF
+    sampling factors must be ignored (A.2.2), and a malformed DHT whose
+    DC category overflows the int32 block returns None instead of
+    raising."""
+    import numpy as np
+
+    from document_retrieval_system_spark.sources.jpeg_codec import (
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    gray = (np.add.outer(np.arange(24) * 4, np.arange(17) * 6) % 256).astype(np.uint8)
+    enc = make_jpeg(gray, scale=0.5)
+    base = decode_jpeg(enc)
+
+    # fill bytes before DQT and before SOS must not change the decode
+    filled = enc.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    filled = filled.replace(b"\xff\xda", b"\xff\xff\xda", 1)
+    assert np.array_equal(decode_jpeg(filled), base)
+
+    # grayscale with H=V=2 declared in SOF0: non-interleaved scan, the
+    # factors must be ignored -> identical pixels to the H=V=1 stream
+    sof = enc.find(b"\xff\xc0")
+    patched = bytearray(enc)
+    assert patched[sof + 11] == 0x11  # comp 1 sampling byte
+    patched[sof + 11] = 0x22
+    assert np.array_equal(decode_jpeg(bytes(patched)), base)
+
+    # DHT declaring DC category 62: magnitude overflows the int32
+    # coefficient block -> None, never an exception.  A FLAT image
+    # guarantees category 0 (DC diff 0) is actually emitted for every
+    # block after the first, so the patched symbol is exercised.
+    flat_enc = make_jpeg(np.full((24, 17), 80, dtype=np.uint8), scale=0.5)
+    dht = flat_enc.find(b"\xff\xc4")
+    broken = bytearray(flat_enc)
+    assert broken[dht + 21] == 0  # first DC symbol (category 0)
+    broken[dht + 21] = 62
+    assert decode_jpeg(bytes(broken)) is None
