@@ -44,7 +44,8 @@ def main() -> None:
         "dedup_clusters", "dedup_winnow", "emb_neardup", "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ta_langid", "ta_quality", "ta_fingerprint", "ta_pii",
         "ta_repetition", "dedup_paragraph",
-        "corpus_sample", "corpus_token_budget", "corpus_decontaminate", "url_dedup", "u2_boost_rescore",
+        "corpus_sample", "corpus_token_budget", "corpus_decontaminate", "url_dedup",
+        "fuzzy_terms", "u2_boost_rescore",
         "e2e_search_pipeline",
     ]
 

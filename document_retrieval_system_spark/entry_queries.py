@@ -21,7 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from document_retrieval_system_spark.operators import dedup, similarity, textstats
+from document_retrieval_system_spark.operators import dedup, fuzzy, similarity, textstats
 from document_retrieval_system_spark.operators.textstats import (
     simple_process_text,
     simple_tokens,
@@ -1418,6 +1418,61 @@ ORDER BY cosine DESC, vec_id LIMIT {k}"""
 SQL_ANN_IVFPQ = _sql_ann_ivfpq
 
 
+# misspellings of the corpus vocabulary: deletions (tble), insertions
+# (scann), substitutions (haxh), an exact term (fast), and a
+# TRANSPOSITION (jion ~ join, Levenshtein 2) that must match nothing —
+# pinning that the matcher is exact distance <= 1, not SymSpell's loose
+# distance-2 superset
+FUZZY_QUERY_TERMS = [
+    "tble", "scann", "merg", "windoe", "sprk", "jion", "haxh", "fast",
+    "kay", "par", "bit", "vale", "grou",
+]
+
+
+def q_fuzzy_terms(spark, sf_dir):
+    """Typo-tolerant term lookup: every distinct corpus term within
+    Levenshtein distance 1 of each query term, via the position-tagged
+    deletion-variant equi-join (operators/fuzzy.py) — the query side
+    broadcasts, the corpus vocabulary never shuffles."""
+    docs = _docs(spark, sf_dir)
+    dictionary = (
+        docs.select(
+            F.explode(
+                textstats.simple_tokens(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("term")
+        ).distinct()
+    )
+    queries = spark.createDataFrame(
+        [(t,) for t in FUZZY_QUERY_TERMS], "query_term string"
+    )
+    return fuzzy.fuzzy_term_matches(dictionary, queries)
+
+
+_FUZZY_VALUES = ", ".join(f"('{t}')" for t in FUZZY_QUERY_TERMS)
+
+SQL_FUZZY_TERMS = "WITH " + SQL_TOKS + f""",
+dict AS (SELECT DISTINCT unnest(toks) AS t FROM toks),
+dels AS (SELECT t, unnest(range(0, length(t))) AS i FROM dict),
+dv AS (
+  SELECT t, t AS v, -1 AS pos FROM dict
+  UNION ALL
+  SELECT t, substr(t, 1, i::INT) || substr(t, (i + 2)::INT, length(t)), i::INT
+  FROM dels
+),
+q(q) AS (VALUES {_FUZZY_VALUES}),
+qdels AS (SELECT q, unnest(range(0, length(q))) AS i FROM q),
+qv AS (
+  SELECT q, q AS v, -1 AS pos FROM q
+  UNION ALL
+  SELECT q, substr(q, 1, i::INT) || substr(q, (i + 2)::INT, length(q)), i::INT
+  FROM qdels
+)
+SELECT DISTINCT qv.q AS query_term, dv.t AS term,
+       (CASE WHEN qv.q = dv.t THEN 0 ELSE 1 END)::INT AS dist
+FROM dv JOIN qv ON dv.v = qv.v
+ AND (dv.pos = -1 OR qv.pos = -1 OR dv.pos = qv.pos)"""
+
+
 def q_ta_langid(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -2359,6 +2414,7 @@ QUERIES = {
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF),
     "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_PQ),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ),
+    "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
     # Spark-only (rows-only driver check)
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),
