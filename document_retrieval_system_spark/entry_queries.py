@@ -1429,6 +1429,48 @@ FUZZY_QUERY_TERMS = [
 ]
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join on the events stream: every click annotated with the
+    user's latest view at-or-before it (event-time join per user).  The
+    Spark side is the union-and-carry window implementation
+    (operators/asof.py); the oracle is DuckDB's NATIVE ASOF LEFT JOIN —
+    two independent algorithms, one hash."""
+    from document_retrieval_system_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(clicks, views, key="user_id",
+                    right_cols=["event_id", "value"])
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        # ts is TIMESTAMP_NTZ; session tz is UTC so the cast preserves
+        # the wall-clock micros DuckDB's epoch_us reads directly
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        F.col("event_id_r").alias("view_id"),
+        F.col("value_r").alias("view_value"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id AS click_id, c.user_id,
+       epoch_us(c.ts) AS click_us,
+       v.event_id AS view_id, v.value AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts"""
+
+
 def q_fuzzy_terms(spark, sf_dir):
     """Typo-tolerant term lookup: every distinct corpus term within
     Levenshtein distance 1 of each query term, via the position-tagged
@@ -2415,6 +2457,7 @@ QUERIES = {
     "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_PQ),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ),
     "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     # Spark-only (rows-only driver check)
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),
