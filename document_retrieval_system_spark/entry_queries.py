@@ -1471,6 +1471,50 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.ts <= c.ts"""
 
 
+_RANGE_WIN_US = 12 * 3600 * 1_000_000  # 12 h in epoch micros
+
+
+def q_events_range(spark, sf_dir):
+    """Range join on the events stream: every (error window, click)
+    pair where the user's click lands inside the 12 h window after an
+    error — via the binned interval-point join (operators/rangejoin.py)
+    that replaces Spark's BroadcastNestedLoopJoin fallback with one
+    equi-shuffle; the oracle is DuckDB's plain inequality join."""
+    from document_retrieval_system_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        us.alias("win_start"), (us + F.lit(_RANGE_WIN_US)).alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", us.alias("click_us"),
+    )
+    out = interval_point_join(
+        errors, clicks, "win_start", "win_end", "click_us",
+        key="user_id", bucket_width=_RANGE_WIN_US,
+    )
+    return out.select("error_id", "user_id", "click_id")
+
+
+SQL_EVENTS_RANGE = f"""
+WITH errors AS (
+  SELECT event_id AS error_id, user_id, epoch_us(ts) AS s
+  FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS v
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.error_id, e.user_id, c.click_id
+FROM errors e JOIN clicks c
+  ON c.user_id = e.user_id
+ AND c.v >= e.s AND c.v < e.s + {_RANGE_WIN_US}"""
+
+
 def q_fuzzy_terms(spark, sf_dir):
     """Typo-tolerant term lookup: every distinct corpus term within
     Levenshtein distance 1 of each query term, via the position-tagged
@@ -2458,6 +2502,7 @@ QUERIES = {
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ),
     "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+    "events_range": (q_events_range, SQL_EVENTS_RANGE),
     # Spark-only (rows-only driver check)
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),

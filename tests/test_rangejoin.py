@@ -1,0 +1,35 @@
+"""Binned range join (operators/rangejoin.py): brute-force equivalence
+on random keyed intervals (including empty and negative-coordinate
+ones) and the no-nested-loop plan guarantee."""
+
+from __future__ import annotations
+
+import random
+import re
+
+
+def test_interval_point_join_bruteforce(spark):
+    from document_retrieval_system_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+    from document_retrieval_system_spark.plans.explain import formatted_plan
+
+    rng = random.Random(5)
+    ivals = []
+    for i in range(120):
+        s = rng.randint(-500, 500)
+        ivals.append((i, rng.randint(0, 2), s, s + rng.randint(0, 300)))
+    pts = [(j, rng.randint(0, 2), rng.randint(-600, 900)) for j in range(200)]
+    iv = spark.createDataFrame(ivals, "ival_id long, k long, s long, e long")
+    pt = spark.createDataFrame(pts, "pt_id long, k long, v long")
+    out = interval_point_join(iv, pt, "s", "e", "v", key="k", bucket_width=97)
+    got = {(r["ival_id"], r["pt_id"]) for r in out.collect()}
+    want = {(i, j) for (i, k1, s, e) in ivals for (j, k2, v) in pts
+            if k1 == k2 and s <= v < e}
+    assert got == want
+    # a match appears exactly once (bucketing introduces no duplicates)
+    assert out.count() == len(got)
+    plan = formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    # the equi-join on (bucket, key) is a real join node
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
