@@ -1429,29 +1429,46 @@ FUZZY_QUERY_TERMS = [
 ]
 
 
+# epoch micros of a TIMESTAMP_NTZ, independent of the driver session's
+# timezone (unix_micros(cast(ts as timestamp)) shifts by the session tz
+# offset — the external driver's session is not guaranteed UTC)
+def _ntz_micros(col_name: str):
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name})"
+    )
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join on the events stream: every click annotated with the
     user's latest view at-or-before it (event-time join per user).  The
     Spark side is the union-and-carry window implementation
     (operators/asof.py); the oracle is DuckDB's NATIVE ASOF LEFT JOIN —
-    two independent algorithms, one hash."""
+    two independent algorithms, one hash.  The view side is deduped on
+    (user_id, ts) first: native ASOF breaks such ties by physical row
+    order, so ties must not exist for a cross-engine hash (the fixture
+    has none; the dedup makes that a guarantee, not an observation)."""
+    from pyspark.sql import Window
+
     from document_retrieval_system_spark.operators.asof import asof_join
 
     ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", "value"
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     out = asof_join(clicks, views, key="user_id",
                     right_cols=["event_id", "value"])
     return out.select(
         F.col("event_id").alias("click_id"),
         F.col("user_id"),
-        # ts is TIMESTAMP_NTZ; session tz is UTC so the cast preserves
-        # the wall-clock micros DuckDB's epoch_us reads directly
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        _ntz_micros("ts").alias("click_us"),
         F.col("event_id_r").alias("view_id"),
         F.col("value_r").alias("view_value"),
     )
@@ -1463,6 +1480,7 @@ WITH clicks AS (
 ),
 views AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
 )
 SELECT c.event_id AS click_id, c.user_id,
        epoch_us(c.ts) AS click_us,
@@ -1485,7 +1503,7 @@ def q_events_range(spark, sf_dir):
     )
 
     ev = _events(spark, sf_dir)
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = _ntz_micros("ts")
     errors = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"), "user_id",
         us.alias("win_start"), (us + F.lit(_RANGE_WIN_US)).alias("win_end"),

@@ -13,8 +13,10 @@ Implementation is the union-and-carry pattern, fully JVM-side:
    ``last(struct, ignoreNulls=True)`` over unbounded-preceding..current
    — each left row sees the most recent right row at-or-before it
    (right sorts before left at equal ts, so "at" is included; ties
-   inside the right side resolve by struct field order,
-   deterministically);
+   inside the right side resolve by struct field order — deterministic
+   SPARK-side; native ASOF implementations may break such ties by
+   physical row order, so dedup the right side on (key, ts) first when
+   cross-engine reproducibility matters);
 3. keep the left rows, unpack the struct.
 
 Scale shape: ONE shuffle (the window partition by key) over
@@ -42,6 +44,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     key); nulls when no such row."""
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
+    reserved = {"_side", "_ats", "_rrow", "_m"}
+    clashes = (set(left.columns) & reserved) | (
+        set(left.columns) & {c + suffix for c in right_cols}
+    )
+    if clashes:
+        raise ValueError(f"asof_join: left columns collide with internal/"
+                         f"output names: {sorted(clashes)}")
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
         "_ats", F.col(left_ts)
     ).withColumn("_rrow", F.lit(None).cast(
@@ -49,7 +58,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
             f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_cols
         ) + ">"
     ))
-    r_tagged = right.select(
+    # a NULL-ts right row can never satisfy ts <= left.ts (SQL three-
+    # valued logic; under nulls-first ordering it would instead become a
+    # matches-everything floor for its key)
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("_ats"),
         F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),

@@ -29,9 +29,21 @@ def interval_point_join(intervals: DataFrame, points: DataFrame,
                         bucket_width: int = 3600) -> DataFrame:
     """Join every point row to every interval row with
     start <= point < end (half-open) and, when `key` is given, equal
-    key.  `start_col`/`end_col`/`point_col` must be numeric (convert
-    timestamps to epoch micros/seconds first).  Returns
-    intervals-columns ++ points-columns for each match."""
+    key.  `start_col`/`end_col`/`point_col` must be INTEGRAL (convert
+    timestamps to epoch micros/seconds first) — fractional coordinates
+    would truncate toward zero before bucketing (wrong bucket for
+    negatives, silently dropped matches) and the half-open `end - 1`
+    adjustment assumes unit granularity, so non-integer columns raise.
+    Returns intervals-columns ++ points-columns for each match."""
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    for df, col in ((intervals, start_col), (intervals, end_col),
+                    (points, point_col)):
+        dt = df.schema[col].dataType.simpleString()
+        if dt not in integral:
+            raise TypeError(
+                f"interval_point_join: column {col!r} must be integral, "
+                f"got {dt} — convert timestamps/floats to integer units first"
+            )
     # floor of the division (not a truncating cast) so negative
     # coordinates bucket correctly
     def bucket_of(c):

@@ -155,10 +155,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
         return None
     try:
         return _decode(payload)
-    except (ValueError, IndexError, struct.error, ZeroDivisionError,
-            OverflowError):
-        # OverflowError: a malformed DHT can declare DC categories > 18,
-        # whose magnitudes overflow the int32 coefficient block
+    except (ValueError, IndexError, KeyError, struct.error,
+            ZeroDivisionError, OverflowError):
+        # KeyError: scans referencing undeclared Huffman/quant tables or
+        # components (incl. legal multi-scan layouts outside this
+        # decoder's single-scan subset); OverflowError: a malformed DHT
+        # can declare DC categories > 18, whose magnitudes overflow the
+        # int32 coefficient block
         return None
 
 

@@ -74,3 +74,34 @@ def test_asof_join_single_shuffle(spark):
     # in the details section ("(4) Exchange") — count tree nodes only
     assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1, plan
     assert "Join" not in plan
+
+
+def test_asof_join_null_ts_right_rows_never_match(spark):
+    """A right row with NULL timestamp can never satisfy ts <= left.ts
+    (review finding: under nulls-first window ordering it acted as a
+    matches-everything floor)."""
+    left = spark.createDataFrame(
+        [(1, 1, _t(5))], "click_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 1, None, 9.0), (99, 1, _t(2), 7.0)],
+        "view_id long, user_id long, ts timestamp, value double",
+    )
+    r = asof_join(left, right, key="user_id",
+                  right_cols=["view_id", "value"]).collect()[0]
+    assert r["view_id_r"] == 99 and r["value_r"] == 7.0
+
+
+def test_asof_join_rejects_colliding_left_columns(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 1, _t(5), 0.0)],
+        "click_id long, user_id long, ts timestamp, value_r double",
+    )
+    right = spark.createDataFrame(
+        [(9, 1, _t(1), 1.0)],
+        "view_id long, user_id long, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, key="user_id", right_cols=["view_id", "value"])

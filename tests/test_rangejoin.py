@@ -33,3 +33,19 @@ def test_interval_point_join_bruteforce(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
     # the equi-join on (bucket, key) is a real join node
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_interval_point_join_rejects_fractional_columns(spark):
+    """DOUBLE coordinates would truncate toward zero before bucketing
+    (wrong bucket for negatives -> silently dropped matches) — the
+    operator must refuse them."""
+    import pytest
+
+    from document_retrieval_system_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+
+    iv = spark.createDataFrame([(1, -10.5, -0.2)], "ival_id long, s double, e double")
+    pt = spark.createDataFrame([(1, -0.4)], "pt_id long, v double")
+    with pytest.raises(TypeError, match="integral"):
+        interval_point_join(iv, pt, "s", "e", "v", bucket_width=3600)
