@@ -106,8 +106,10 @@ def _tfs_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_scores(docs: DataFrame) -> DataFrame:
-    """Unrounded BM25 scores for BM25_TERMS over the documents table."""
+def _bm25_scores(docs: DataFrame, terms_df: DataFrame | None = None) -> DataFrame:
+    """Unrounded BM25 scores over the documents table — for BM25_TERMS,
+    or for a (small, broadcastable) one-column `terms_df` when the query
+    term set is computed (e.g. fuzzy expansion)."""
     tfs = _tfs_df(docs)
     stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
     corpus = (
@@ -115,8 +117,12 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
         .filter(F.size("toks") > 0)
         .agg(F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl"))
     )
+    matched = (
+        tfs.filter(F.col("term").isin(BM25_TERMS)) if terms_df is None
+        else tfs.join(F.broadcast(terms_df), "term")
+    )
     return (
-        tfs.filter(F.col("term").isin(BM25_TERMS))
+        matched
         .join(stats, "term")
         .crossJoin(F.broadcast(corpus))
         .withColumn(
@@ -1489,6 +1495,88 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.ts <= c.ts"""
 
 
+FUZZY_SEARCH_QUERY = ["tble", "merg", "windoe", "fast"]
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Typo-tolerant search end-to-end: each misspelled query term is
+    expanded to its best dictionary match (min edit distance, then
+    lexicographic — deterministic) via the deletion-variant join, and
+    the corrected term set feeds the standard BM25 ranking.  The whole
+    correction→retrieval pipeline is one lazy plan; the expansion side
+    stays broadcast-sized."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    dictionary = _tfs_df(docs).select("term").distinct()
+    queries = spark.createDataFrame(
+        [(t,) for t in FUZZY_SEARCH_QUERY], "query_term string"
+    )
+    matches = fuzzy.fuzzy_term_matches(dictionary, queries)
+    w = Window.partitionBy("query_term").orderBy(
+        F.col("dist").asc(), F.col("term").asc()
+    )
+    best = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("term")
+        .distinct()
+    )
+    return (
+        _bm25_scores(docs, terms_df=best)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_FSQ_VALUES = ", ".join(f"('{t}')" for t in FUZZY_SEARCH_QUERY)
+
+SQL_FUZZY_SEARCH = "WITH " + SQL_TFS + f""",
+stats AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+corpus AS (
+  SELECT count(*) AS n, avg(len(toks)) AS avgdl
+  FROM toks WHERE len(toks) > 0
+),
+dict AS (SELECT DISTINCT term AS t FROM tfs),
+dels AS (SELECT t, unnest(range(0, length(t))) AS i FROM dict),
+dv AS (
+  SELECT t, t AS v, -1 AS pos FROM dict
+  UNION ALL
+  SELECT t, substr(t, 1, i::INT) || substr(t, (i + 2)::INT, length(t)), i::INT
+  FROM dels
+),
+fq(q) AS (VALUES {_FSQ_VALUES}),
+qdels AS (SELECT q, unnest(range(0, length(q))) AS i FROM fq),
+qv AS (
+  SELECT q, q AS v, -1 AS pos FROM fq
+  UNION ALL
+  SELECT q, substr(q, 1, i::INT) || substr(q, (i + 2)::INT, length(q)), i::INT
+  FROM qdels
+),
+fmatches AS (
+  SELECT DISTINCT qv.q, dv.t,
+         CASE WHEN qv.q = dv.t THEN 0 ELSE 1 END AS dist
+  FROM dv JOIN qv ON dv.v = qv.v
+   AND (dv.pos = -1 OR qv.pos = -1 OR dv.pos = qv.pos)
+),
+best AS (
+  SELECT DISTINCT t AS term FROM (
+    SELECT q, t, row_number() OVER (PARTITION BY q ORDER BY dist, t) AS rn
+    FROM fmatches
+  ) WHERE rn = 1
+),
+bm25 AS (
+  SELECT tfs.doc_id,
+         sum( ln((corpus.n - stats.df + 0.5) / (stats.df + 0.5) + 1)
+              * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * tfs.dl / corpus.avgdl)) ) AS score
+  FROM tfs JOIN best USING (term) JOIN stats USING (term) CROSS JOIN corpus
+  GROUP BY tfs.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM bm25
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
 _RANGE_WIN_US = 12 * 3600 * 1_000_000  # 12 h in epoch micros
 
 
@@ -2521,6 +2609,7 @@ QUERIES = {
     "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "events_range": (q_events_range, SQL_EVENTS_RANGE),
+    "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
     # Spark-only (rows-only driver check)
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),

@@ -45,3 +45,28 @@ def test_fuzzy_matches_bruteforce_levenshtein(spark):
     # the small query side broadcasts — one BroadcastHashJoin, the
     # dictionary side never shuffles for the join
     assert "BroadcastHashJoin" in formatted_plan(out)
+
+
+def test_fuzzy_search_expansion_equals_direct_bm25(spark):
+    """The fuzzy_search entry's correction step must expand
+    tble/merg/windoe/fast to exactly table/merge/window/fast — so the
+    ranked result is identical to BM25 over the corrected terms."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_system_spark import entry_queries as eq
+
+    sf = "/root/testdata/sf0.01"
+    got = [tuple(r) for r in eq.q_fuzzy_search(spark, sf).collect()]
+    docs = eq._docs(spark, sf)
+    direct = spark.createDataFrame(
+        [("table",), ("merge",), ("window",), ("fast",)], "term string"
+    )
+    want = [
+        tuple(r)
+        for r in eq._bm25_scores(docs, terms_df=direct)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    ]
+    assert got == want and len(got) == 20
