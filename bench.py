@@ -39,6 +39,7 @@ def main() -> None:
 
     bench_queries = [
         "r3_bm25_topk", "r3_bm25_wand", "r3_bm25_batch", "r1_tfidf_topk", "b7_phrase",
+        "b8_prefix_search",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_ngram_jaccard3",
         "dedup_clusters", "dedup_winnow", "emb_neardup", "ann_cosine_topk", "ann_lsh_topk",

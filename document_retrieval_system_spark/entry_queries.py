@@ -1495,6 +1495,28 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.ts <= c.ts"""
 
 
+def q_b8_prefix_search(spark, sf_dir):
+    """Wildcard term query ('co*') over the REAL compressed index: the
+    StartsWith predicate pushes into the term-sorted postings scan
+    (plan-test-pinned dictionary-range twin), matched blocks decode
+    doc_bytes only, and the per-doc OR is one distinct.  On this corpus
+    'co' matches {customer, column}."""
+    from document_retrieval_system_spark.operators.search import prefix_search
+
+    reader = _ensure_entry_index(spark, sf_dir)
+    matched = prefix_search(reader, "co")
+    docs = reader.docs().select("shard", "local_no", "url")
+    return matched.join(docs, ["shard", "local_no"]).select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id")
+    )
+
+
+SQL_B8_PREFIX = "WITH " + SQL_TOKS + """
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id, unnest(toks) AS t FROM toks
+) WHERE t LIKE 'co%'"""
+
+
 FUZZY_SEARCH_QUERY = ["tble", "merg", "windoe", "fast"]
 
 
@@ -2610,6 +2632,7 @@ QUERIES = {
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "events_range": (q_events_range, SQL_EVENTS_RANGE),
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
+    "b8_prefix_search": (q_b8_prefix_search, SQL_B8_PREFIX),
     # Spark-only (rows-only driver check)
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),

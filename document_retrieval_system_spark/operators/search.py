@@ -407,3 +407,23 @@ def _empty_result(spark) -> DataFrame:
     return spark.createDataFrame(
         [], "doc_id string, url string, score double, shard int, local_no long"
     )
+
+
+def prefix_search(reader, prefix: str) -> DataFrame:
+    """Wildcard term query (``prefix*``): the (shard, local_no) doc set
+    containing ANY indexed term starting with `prefix` — the B-family
+    operator for truncated queries.
+
+    The predicate pushes into the postings scan as a StringStartsWith
+    filter over term-sorted row groups (the columnar twin of a
+    dictionary/trie range scan: only row groups whose term min/max
+    straddle the prefix are read — plan-test-pinned), matched blocks
+    decode doc_bytes only, and the per-doc OR across matched terms is
+    one distinct."""
+    return (
+        flat_postings(
+            reader.postings().filter(F.col("term").startswith(prefix)), False
+        )
+        .select("shard", "local_no")
+        .distinct()
+    )

@@ -85,3 +85,27 @@ def test_phrase_pos_decode_after_docset_semijoin(reader):
         for i in idx:
             below = "\n".join(lines[i + 1 : i + 4])
             assert "Join LeftSemi" in below, (lines[i], below)
+
+
+def test_prefix_search_pushes_startswith_and_matches_scan(reader):
+    """Wildcard (prefix*) queries: the StartsWith predicate reaches the
+    postings scan (term-sorted row groups skip via min/max — the
+    columnar dictionary-range scan), and the result equals a brute-force
+    union of the matching terms' doc sets."""
+    from document_retrieval_system_spark.operators.search import prefix_search
+
+    terms = [r["term"] for r in
+             reader.term_stats().select("term").distinct().collect()]
+    prefix = next(t[:1] for t in terms if sum(x.startswith(t[:1]) for x in terms) >= 2)
+    df = prefix_search(reader, prefix)
+    pf = pushed_filters(
+        reader.postings().filter(F.col("term").startswith(prefix)))
+    assert "StringStartsWith" in pf, pf
+    got = {(r["shard"], r["local_no"]) for r in df.collect()}
+    want = set()
+    for t in terms:
+        if t.startswith(prefix):
+            flat = flat_postings(
+                reader.postings().filter(F.col("term") == t), False)
+            want |= {(r["shard"], r["local_no"]) for r in flat.collect()}
+    assert got == want and got
