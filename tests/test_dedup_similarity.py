@@ -682,3 +682,38 @@ def test_jpeg_decoder_spec_edge_cases(spark):
     assert broken[dht + 21] == 0  # first DC symbol (category 0)
     broken[dht + 21] = 62
     assert decode_jpeg(bytes(broken)) is None
+
+
+def test_jpeg_decoder_corruption_fuzz_never_raises(spark):
+    """Seeded corruption fuzz: byte mutations of valid JPEGs (headers,
+    tables, entropy data) must decode to pixels or None — never raise.
+    This is the contract extract_features/resize_images rely on for the
+    decoded=false fallback over a crawled corpus."""
+    import random
+
+    import numpy as np
+
+    from document_retrieval_system_spark.sources.jpeg_codec import (
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    rng = random.Random(41)
+    nrng = np.random.default_rng(41)
+    bases = [
+        make_jpeg(nrng.integers(0, 256, (12, 17, 3), dtype=np.uint8),
+                  subsample="420", restart_interval=2),
+        make_jpeg(nrng.integers(0, 256, (9, 8), dtype=np.uint8)),
+    ]
+    for _ in range(300):
+        buf = bytearray(rng.choice(bases))
+        for _ in range(rng.randint(1, 6)):
+            op = rng.random()
+            if op < 0.5:
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            elif op < 0.8 and len(buf) > 8:
+                del buf[rng.randrange(len(buf))]
+            else:
+                buf.insert(rng.randrange(len(buf)), rng.randrange(256))
+        out = decode_jpeg(bytes(buf))  # must not raise
+        assert out is None or hasattr(out, "shape")
