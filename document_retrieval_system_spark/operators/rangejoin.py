@@ -44,10 +44,16 @@ def interval_point_join(intervals: DataFrame, points: DataFrame,
                 f"interval_point_join: column {col!r} must be integral, "
                 f"got {dt} — convert timestamps/floats to integer units first"
             )
-    # floor of the division (not a truncating cast) so negative
-    # coordinates bucket correctly
-    def bucket_of(c):
-        return F.floor(c.cast("long") / F.lit(float(bucket_width))).cast("long")
+    # Floor division in PURE LONG arithmetic: subtracting pmod makes the
+    # numerator an exact multiple of W, then `div` (integral division)
+    # yields the floor with no rounding.  A double division here would
+    # lose integer exactness above 2^53 (epoch nanoseconds), silently
+    # bucketing extreme coordinates wrong and dropping matches.
+    W = int(bucket_width)
+
+    def bucket_of(colsql: str):
+        c = f"CAST({colsql} AS BIGINT)"
+        return F.expr(f"({c} - pmod({c}, {W})) div {W}")
 
     iv = intervals.withColumn(
         "_b",
@@ -55,13 +61,13 @@ def interval_point_join(intervals: DataFrame, points: DataFrame,
             F.when(
                 F.col(start_col) < F.col(end_col),
                 F.sequence(
-                    bucket_of(F.col(start_col)),
-                    bucket_of(F.col(end_col) - 1),
+                    bucket_of(f"`{start_col}`"),
+                    bucket_of(f"(`{end_col}` - 1)"),
                 ),
             ).otherwise(F.expr("array()").cast("array<long>"))
         ),
     )
-    pt = points.withColumn("_b", bucket_of(F.col(point_col)))
+    pt = points.withColumn("_b", bucket_of(f"`{point_col}`"))
     cond = [iv["_b"] == pt["_b"]]
     if key is not None:
         cond.append(iv[key] == pt[key])

@@ -117,6 +117,14 @@ def _parse(buf: bytes) -> Mp4Track | None:
         return None
     _, p = _fullbox(buf, loc[0])
     uniform, count = struct.unpack_from(">II", buf, p)
+    # Sanity-bound the 32-bit count BEFORE materializing per-sample
+    # lists: every sample occupies >=1 byte of the file (and the
+    # non-uniform table itself needs 4 bytes/entry), so a count beyond
+    # len(buf) is corrupt — raising here keeps a crafted
+    # count=0xFFFFFFFF from forcing a multi-GB allocation instead of
+    # the contractual None.
+    if count > len(buf):
+        raise ValueError("stsz count overflow")
     if uniform:
         sizes = [uniform] * count
     else:
@@ -152,10 +160,12 @@ def _parse(buf: bytes) -> Mp4Track | None:
     (ndelta,) = struct.unpack_from(">I", buf, p)
     deltas: list[int] = []
     for i in range(ndelta):
+        if len(deltas) >= count:  # only `count` deltas are consumed;
+            break                 # stop before corrupt runs blow memory
         cnt, delta = struct.unpack_from(">II", buf, p + 4 + 8 * i)
         if cnt > count:
             raise ValueError("stts count overflow")
-        deltas.extend([delta] * cnt)
+        deltas.extend([delta] * min(cnt, count - len(deltas)))
     if len(deltas) < count:
         deltas.extend([deltas[-1] if deltas else 0] * (count - len(deltas)))
 

@@ -543,6 +543,59 @@ def test_mp4_container_parse_real_sample_tables(spark):
     assert parse_mp4_samples(bytes(zt)) is None
 
 
+def test_mp4_parser_corruption_fuzz_never_raises(spark):
+    """Seeded corruption fuzz for the MP4 parser (same contract as the
+    JPEG fuzz): byte mutations of valid containers must parse or return
+    None — never raise, and never force huge allocations.  Includes
+    targeted count-field corruptions (stsz/stts 32-bit counts maxed)
+    that would previously materialize multi-GB lists before any bounds
+    check."""
+    import random
+    import struct
+
+    from document_retrieval_system_spark.sources.mp4_box import (
+        make_mp4,
+        parse_mp4_samples,
+    )
+
+    bases = [
+        make_mp4([bytes([k]) * (5 + k) for k in range(6)], frame_ms=40),
+        make_mp4([b"x" * 9], frame_ms=100),
+    ]
+    # targeted: max out the stsz sample count -> corrupt, must be None
+    buf = bytearray(bases[0])
+    i = buf.find(b"stsz")
+    buf[i + 12 : i + 16] = struct.pack(">I", 0xFFFFFFFF)
+    assert parse_mp4_samples(bytes(buf)) is None
+    # targeted: max out the stts entry count — the parser stops reading
+    # runs once it has `count` deltas, so this parses to the SAME valid
+    # track (bounded work) instead of allocating per claimed entry
+    buf = bytearray(bases[0])
+    i = buf.find(b"stts")
+    buf[i + 8 : i + 12] = struct.pack(">I", 0xFFFFFFFF)
+    trk = parse_mp4_samples(bytes(buf))
+    assert trk is not None and len(trk.samples) == 6
+    # targeted: uniform-size stsz (4 bytes at +8) with a huge count
+    buf = bytearray(bases[1])
+    i = buf.find(b"stsz")
+    buf[i + 8 : i + 16] = struct.pack(">II", 9, 0x7FFFFFFF)
+    assert parse_mp4_samples(bytes(buf)) is None
+
+    rng = random.Random(43)
+    for _ in range(300):
+        buf = bytearray(rng.choice(bases))
+        for _ in range(rng.randint(1, 6)):
+            op = rng.random()
+            if op < 0.5:
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            elif op < 0.8 and len(buf) > 8:
+                del buf[rng.randrange(len(buf))]
+            else:
+                buf.insert(rng.randrange(len(buf)), rng.randrange(256))
+        trk = parse_mp4_samples(bytes(buf))  # must not raise
+        assert trk is None or trk.timescale > 0
+
+
 def test_pq_ann_codes_and_recall(spark, tmp_path):
     """Product-quantization ANN: packed BIGINT codes round-trip the
     per-subspace argmin (unpack == recompute), the codebook fit is
