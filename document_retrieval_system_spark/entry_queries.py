@@ -2009,6 +2009,150 @@ GROUP BY l.id, r.id
 HAVING count(*) >= {WINNOW_MIN_SHARED}"""
 
 
+SPAN_MIN_LEN = 48   # 25 spans at sf0.01 (max 526 chars) — non-vacuous
+SPAN_K = 16         # verify-gram width; min_len >= seed guarantee (23)
+
+
+def q_dedup_spans(spark, sf_dir):
+    """EXACT substring dedup with span output: every maximal exact
+    common substring >= SPAN_MIN_LEN chars between two documents, with
+    1-based (a_start, b_start, match_len) into the lowercased texts.
+    One literal k-gram self-equi-join + diagonal islands (suffix-array
+    dedup re-expressed relationally); the oracle runs the same maximal-
+    run semantics as a brute-force DuckDB pipeline."""
+    from document_retrieval_system_spark.operators.dedup import (
+        exact_overlap_spans,
+    )
+
+    return exact_overlap_spans(
+        _docs(spark, sf_dir), min_len=SPAN_MIN_LEN, k=SPAN_K,
+        bucket_cap=None,
+    )
+
+
+SQL_DEDUP_SPANS = f"""
+WITH docs AS (SELECT doc_id AS id, lower(coalesce(text, '')) AS t FROM documents),
+grams AS (
+  SELECT id, pos, substr(t, pos, {SPAN_K}) AS g FROM (
+    SELECT id, t,
+           unnest(generate_series(1, greatest(length(t) - {SPAN_K - 1}, 0))) AS pos
+    FROM docs
+  )
+),
+m AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb
+  FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+),
+runs AS (
+  SELECT id_a, id_b, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS run,
+         pb
+  FROM m
+)
+SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start,
+       CAST(min(pb) AS BIGINT) AS b_start,
+       CAST(max(pa) - min(pa) + {SPAN_K} AS BIGINT) AS match_len
+FROM runs GROUP BY id_a, id_b, diag, run
+HAVING max(pa) - min(pa) + {SPAN_K} >= {SPAN_MIN_LEN}"""
+
+
+# --- model-based quality filter (CCNet/fastText-shape) ---------------------
+
+QM_JUNK_MOD = 5        # doc_id % 5 == 3 -> planted low-quality doc
+QM_JUNK_BASE = "buy now click here free win prize money "
+QM_JUNK_VOCAB = ["cheap", "pills", "casino", "winner", "bonus", "deal",
+                 "gratis", "lotto", "rich", "offer", "spam"]
+QM_FIT_PER_CLASS = 120
+_qm_model_cache: dict = {}
+
+
+def _qm_junk_text(doc_id: int) -> str:
+    """Python twin of the planted low-quality text (see the Spark/SQL
+    CASE expressions) — used only by the offline fit."""
+    return (QM_JUNK_BASE * (3 + doc_id % 7)
+            + QM_JUNK_VOCAB[doc_id % len(QM_JUNK_VOCAB)])
+
+
+def _qm_fitted(sf_dir: str):
+    """DATA-FITTED quality-classifier weights: deterministic logistic
+    regression (operators/quality_model.fit_quality_model) on an
+    md5-ranked sample of the PLANTED corpus — junk docs are the
+    negative class, untouched docs the positive.  Runs driver-side on
+    pyarrow (no SparkSession) so the same ints serve the Spark builder
+    and the call-time oracle SQL (the _ivf_fitted_cents pattern)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from document_retrieval_system_spark.operators.quality_model import (
+        fit_quality_model,
+        quantize_weights,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key in _qm_model_cache:
+        return _qm_model_cache[key]
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    ranked = sorted(range(len(ids)),
+                    key=lambda i: hashlib.md5(f"{ids[i]}qm".encode()).hexdigest())
+    pos, neg = [], []
+    for i in ranked:
+        if ids[i] % QM_JUNK_MOD == 3:
+            if len(neg) < QM_FIT_PER_CLASS:
+                neg.append(_qm_junk_text(ids[i]))
+        elif len(pos) < QM_FIT_PER_CLASS:
+            pos.append(texts[i] or "")
+    w, b = fit_quality_model(pos, neg)
+    out = (quantize_weights(w), float(b))
+    _qm_model_cache[key] = out
+    return out
+
+
+def _qm_planted_docs(spark, sf_dir):
+    junk = F.concat(
+        F.expr(f"repeat('{QM_JUNK_BASE}', cast(3 + doc_id % 7 as int))"),
+        F.element_at(F.array(*[F.lit(wd) for wd in QM_JUNK_VOCAB]),
+                     (F.col("doc_id") % len(QM_JUNK_VOCAB) + 1).cast("int")),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % QM_JUNK_MOD == 3, junk)
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+def q_ta_quality_model(spark, sf_dir):
+    """Model-based quality filter: hashed-bag-of-ngrams linear
+    classifier (fastText/CCNet shape), weights FITTED on this sf_dir's
+    planted corpus and shipped as one quantized-int literal array;
+    scoring is a map-only column plan (no shuffle, no UDF)."""
+    from document_retrieval_system_spark.operators.quality_model import (
+        score_quality_model,
+    )
+
+    w_int, bias = _qm_fitted(sf_dir)
+    return score_quality_model(_qm_planted_docs(spark, sf_dir), w_int, bias)
+
+
+def _sql_ta_quality_model() -> str:
+    from document_retrieval_system_spark.operators.quality_model import score_sql
+
+    w_int, bias = _qm_fitted(_oracle_sf_dir())
+    vocab = ",".join(f"'{wd}'" for wd in QM_JUNK_VOCAB)
+    plant = f"""qm_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {QM_JUNK_MOD} = 3 THEN
+           repeat('{QM_JUNK_BASE}', (3 + doc_id % 7)::INT)
+           || ([{vocab}])[(doc_id % {len(QM_JUNK_VOCAB)} + 1)::INT]
+         ELSE text END AS text
+  FROM documents
+)"""
+    return "WITH " + plant + score_sql(w_int, bias, docs_cte="qm_docs")
+
+
 # ---------------------------------------------------------------------------
 # Spark-only entries (no SQL-expressible oracle -> driver rows-only check)
 # ---------------------------------------------------------------------------
@@ -2610,6 +2754,8 @@ QUERIES = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_winnow": (q_dedup_winnow, SQL_DEDUP_WINNOW),
+    "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
+    "ta_quality_model": (q_ta_quality_model, _sql_ta_quality_model),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
     "corpus_decontaminate": (q_corpus_decontaminate, SQL_CORPUS_DECON),

@@ -91,26 +91,46 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def _cap_band_buckets(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
+def _cap_band_buckets(bands: DataFrame, bucket_cap: int | None,
+                      observation=None) -> DataFrame:
     """Skew guard: drop (band_id, band_key) buckets larger than bucket_cap.
 
     One degenerate band key (boilerplate / empty-ish docs) otherwise emits
     m^2 pairs into a single reducer at corpus scale.  Dropped buckets lose
     candidate recall only for keys so common they are boilerplate by
-    definition; exact dedup still catches byte-identical members."""
+    definition; exact dedup still catches byte-identical members.
+
+    NO SILENT CAPS: pass a ``pyspark.sql.Observation`` and the stage
+    reports ``cap_dropped_rows`` / ``cap_total_rows`` via JVM-side
+    observe metrics — a run whose cap actually bit is visible, not
+    silently under-recalled.  The observed stage is then eagerly
+    localCheckpoint'ed: the downstream self-join duplicates this
+    subtree, and a duplicated CollectMetrics node reports garbage (0
+    under AQE's empty-relation propagation it crashes outright), so the
+    metrics must be collected by exactly one execution.  Consequently
+    ``observation.get`` is ready as soon as this function returns, and
+    one Observation serves one call."""
     if bucket_cap is None:
         return bands
     w = Window.partitionBy("band_id", "band_key")
-    return (
-        bands.withColumn("_bsz", F.count("*").over(w))
-        .filter(F.col("_bsz") <= F.lit(bucket_cap))
-        .drop("_bsz")
-    )
+    sized = bands.withColumn("_bsz", F.count("*").over(w))
+    if observation is not None:
+        sized = sized.observe(
+            observation,
+            F.sum(F.when(F.col("_bsz") > F.lit(bucket_cap), 1).otherwise(0))
+            .cast("long").alias("cap_dropped_rows"),
+            F.count("*").alias("cap_total_rows"),
+        )
+    out = sized.filter(F.col("_bsz") <= F.lit(bucket_cap)).drop("_bsz")
+    if observation is not None:
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
-def _banded_pairs(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
+def _banded_pairs(bands: DataFrame, bucket_cap: int | None,
+                  observation=None) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing >= 1 (band_id, band_key)."""
-    bands = _cap_band_buckets(bands, bucket_cap)
+    bands = _cap_band_buckets(bands, bucket_cap, observation=observation)
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -128,8 +148,12 @@ def _banded_pairs(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n_hashes: int = 8,
                            band_size: int = 2, ngram: int = 3,
-                           bucket_cap: int | None = 1000) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing at least one LSH band."""
+                           bucket_cap: int | None = 1000,
+                           observation=None) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    ``observation``: optional ``pyspark.sql.Observation`` receiving the
+    skew-cap's cap_dropped_rows / cap_total_rows (see _cap_band_buckets)."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes, ngram)
     n_bands = n_hashes // band_size
     bands = sig.select(
@@ -150,7 +174,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_key")
-    return _banded_pairs(bands, bucket_cap)
+    return _banded_pairs(bands, bucket_cap, observation=observation)
 
 
 def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame,
@@ -194,7 +218,8 @@ def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame,
 def lsh_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       ngram: int = 3, threshold: float = 0.6,
                       n_hashes: int = 16, band_size: int = 2,
-                      bucket_cap: int | None = 1000) -> DataFrame:
+                      bucket_cap: int | None = 1000,
+                      observation=None) -> DataFrame:
     """Scale-safe near-dup pipeline: MinHash-LSH candidates -> exact
     Jaccard verify on candidates only.  The only pair source is the
     banded equi-join (skew-capped); no raw shingle self-join appears in
@@ -202,7 +227,7 @@ def lsh_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     J=0.6 above 97% (miss = (1 - 0.6^2)^8 ≈ 2.8e-2 per pair)."""
     cand = minhash_lsh_candidates(
         df, id_col, text_col, n_hashes=n_hashes, band_size=band_size,
-        ngram=ngram, bucket_cap=bucket_cap,
+        ngram=ngram, bucket_cap=bucket_cap, observation=observation,
     )
     return jaccard_verify_pairs(df, cand, id_col, text_col, ngram, threshold)
 
@@ -291,7 +316,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", bits: int = 32,
                           max_hamming: int = 3, n_bands: int | None = None,
-                          bucket_cap: int | None = 1000) -> DataFrame:
+                          bucket_cap: int | None = 1000,
+                          observation=None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole banding: the signature splits into n_bands (default
@@ -325,7 +351,7 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_key")
-    cand = _banded_pairs(bands, bucket_cap)
+    cand = _banded_pairs(bands, bucket_cap, observation=observation)
     sa = sig.select(F.col("id").alias("id_a"), F.col("simhash_bits").alias("sa"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("simhash_bits").alias("sb"))
     ham = F.size(
@@ -372,7 +398,8 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95, sig_bits: int = 16,
                             band_size: int = 2, seed: int = 7,
-                            bucket_cap: int | None = 1000) -> DataFrame:
+                            bucket_cap: int | None = 1000,
+                            observation=None) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-banded (the scale path).
 
     Random-hyperplane signature (deterministic, seeded) -> banded
@@ -421,7 +448,7 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_key")
-    cand = _banded_pairs(bands, bucket_cap)
+    cand = _banded_pairs(bands, bucket_cap, observation=observation)
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
 
@@ -444,7 +471,8 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 8,
                          window: int = 16, min_shared: int = 20,
-                         bucket_cap: int | None = 64) -> DataFrame:
+                         bucket_cap: int | None = 64,
+                         observation=None) -> DataFrame:
     """MOSS-style near-dup pairs by shared winnowing fingerprints:
     (id_a < id_b, n_shared) for pairs sharing >= ``min_shared`` winnowed
     char-k-gram hashes (textstats.winnowed_sets).
@@ -477,11 +505,21 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     fps = sets.select(F.col(id_col).alias("id"), F.explode("fps").alias("fp"))
     if bucket_cap is not None:
         w = Window.partitionBy("fp")
-        fps = (
-            fps.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= F.lit(bucket_cap))
-            .drop("_n")
-        )
+        fps = fps.withColumn("_n", F.count("*").over(w))
+        if observation is not None:
+            # NO SILENT CAPS: observe metrics report how many (id, fp)
+            # rows the skew cap removed; the eager checkpoint below
+            # executes the metrics node exactly once BEFORE the
+            # self-join duplicates this subtree (see _cap_band_buckets)
+            fps = fps.observe(
+                observation,
+                F.sum(F.when(F.col("_n") > F.lit(bucket_cap), 1).otherwise(0))
+                .cast("long").alias("cap_dropped_rows"),
+                F.count("*").alias("cap_total_rows"),
+            )
+        fps = fps.filter(F.col("_n") <= F.lit(bucket_cap)).drop("_n")
+        if observation is not None:
+            fps = fps.localCheckpoint(eager=True)
     left = fps.alias("l")
     right = fps.alias("r")
     return (
@@ -490,6 +528,93 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= F.lit(min_shared))
+    )
+
+
+def exact_overlap_spans(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", min_len: int = 48,
+                        k: int = 16, bucket_cap: int | None = None,
+                        observation=None) -> DataFrame:
+    """EXACT substring dedup with span output: every maximal exact
+    common substring of length >= ``min_len`` between two documents,
+    as (id_a < id_b, a_start, b_start, match_len) with 1-based char
+    offsets into the lowercased texts.
+
+    Suffix-array-style dedup (Lee et al. '22) re-expressed relationally
+    — no per-pair UDF, no pairwise pre-enumeration:
+
+    1. Each doc emits its char-k-grams keyed by the LITERAL k-char
+       substring (no hash, no collisions).
+    2. A single self-equi-join on the gram string (id_a < id_b) yields
+       all matched gram positions; cost is sum(d_g^2) over gram
+       buckets — bounded, because k-char grams are far more selective
+       than the words/shingles other dedup ops bucket on (hottest
+       16-gram at sf0.1: 314 occurrences; join output 12.8M rows).
+       A pairs-first variant (winnow candidates, then per-pair gram
+       join) measured 357 s at sf0.1 versus ~12 s for this shape: with
+       min_len-grade seeds the candidate fan-out P x doc_len dwarfs
+       the bucket join it was meant to avoid.
+    3. Maximal runs of consecutive matches along each alignment
+       diagonal (pa - pb) via the islands trick: run_id = pa -
+       row_number() within (pair, diag).  A run of m consecutive
+       matching k-grams is exactly a maximal common substring of
+       length m + k - 1: every char in the span is covered by some
+       matching gram, and a longer match would extend the run.
+
+    ``bucket_cap`` guards the d^2 term against degenerate corpora
+    (site-wide boilerplate repeated across millions of pages): gram
+    buckets hotter than the cap are dropped BEFORE the join.  Capping
+    can split or drop spans built from ultra-common grams, so it is
+    off by default and — NO SILENT CAPS — reports
+    cap_dropped_rows / cap_total_rows through ``observation``
+    (see _cap_band_buckets; the observed stage is eagerly
+    checkpointed, metrics ready on return)."""
+    assert k <= min_len, "k-gram width must not exceed min_len"
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+    )
+    npos = F.length("_t") - (k - 1)
+    grams = docs.select(
+        "id", "_t",
+        F.explode(
+            F.when(npos >= 1, F.sequence(F.lit(1), npos))
+            .otherwise(F.expr("array()").cast("array<int>"))
+        ).alias("pos"),
+    ).select("id", "pos", F.expr(f"substring(_t, pos, {k})").alias("g"))
+    if bucket_cap is not None:
+        w = Window.partitionBy("g")
+        grams = grams.withColumn("_n", F.count("*").over(w))
+        if observation is not None:
+            grams = grams.observe(
+                observation,
+                F.sum(F.when(F.col("_n") > F.lit(bucket_cap), 1).otherwise(0))
+                .cast("long").alias("cap_dropped_rows"),
+                F.count("*").alias("cap_total_rows"),
+            )
+        grams = grams.filter(F.col("_n") <= F.lit(bucket_cap)).drop("_n")
+        if observation is not None:
+            grams = grams.localCheckpoint(eager=True)
+    ga = grams.alias("l")
+    gb = grams.alias("r")
+    m = ga.join(gb, (F.col("l.g") == F.col("r.g"))
+                & (F.col("l.id") < F.col("r.id"))).select(
+        F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+        F.col("l.pos").alias("pa"), F.col("r.pos").alias("pb"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "_diag").orderBy("pa")
+    runs = (
+        m.withColumn("_diag", F.col("pa") - F.col("pb"))
+        .withColumn("_run", F.col("pa") - F.row_number().over(w))
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "_diag", "_run")
+        .agg(F.min("pa").alias("a_start"), F.min("pb").alias("b_start"),
+             (F.max("pa") - F.min("pa") + k).cast("long").alias("match_len"))
+        .filter(F.col("match_len") >= F.lit(min_len))
+        .select("id_a", "id_b",
+                F.col("a_start").cast("long").alias("a_start"),
+                F.col("b_start").cast("long").alias("b_start"), "match_len")
     )
 
 

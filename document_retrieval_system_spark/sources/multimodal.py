@@ -9,11 +9,15 @@ decode/encode with 12-bit dict reset, interlace, local color tables),
 PCM WAV (8/16-bit, via ``wave``), and **baseline JPEG** (SOF0 Huffman +
 IDCT, 4:4:4/4:2:2/4:2:0, restart markers — `jpeg_codec.py`) — with
 round-trip tests against the fixture writers (byte-exact for the
-lossless formats, bounded-error for JPEG).  MP4/H.264 frame decode has
-no stdlib codec in this container, so payloads that aren't a parseable
-format fall back to a clearly-marked deterministic STUB (``decoded =
-false`` in the feature output); swap the fallback for ffmpeg in
-production — nothing else changes.
+lossless formats, bounded-error for JPEG).  **Video** composes the MP4
+container parser with the JPEG decoder: an MP4 whose samples are JPEG
+images (Motion-JPEG) decodes end-to-end — container sample tables
+locate the frame bytes, `jpeg_codec` decodes the pixels (``decoded =
+true``).  Only non-JPEG codec bitstreams (H.264 etc.) remain out of
+scope — no stdlib entropy decoder exists for them in this container —
+and those payloads fall back to a clearly-marked deterministic STUB
+(``decoded = false`` in the feature output); swap the fallback for
+ffmpeg in production — nothing else changes.
 
 Schema:
     media(media_id long, url string, kind string,      -- image|audio|video
@@ -37,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from document_retrieval_system_spark.sources.jpeg_codec import decode_jpeg, make_jpeg
-from document_retrieval_system_spark.sources.mp4_box import make_mp4
+from document_retrieval_system_spark.sources.mp4_box import make_mp4, parse_mp4_samples
 
 MEDIA_SCHEMA = (
     "media_id long, url string, kind string, payload binary, mime string, "
@@ -556,9 +560,36 @@ def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     return np.pad(feat, (0, FEATURE_DIM - feat.size))[:FEATURE_DIM]
 
 
+def decode_mjpeg_mp4(payload: bytes) -> np.ndarray | None:
+    """Motion-JPEG MP4 -> first frame's pixels: the container's sample
+    tables locate the frame bytes, the JPEG decoder yields the image.
+    None when the payload isn't a parseable MP4 or its samples aren't
+    JPEG (H.264 etc. — documented out of scope, production: ffmpeg)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    trk = parse_mp4_samples(payload)
+    if trk is None or not trk.samples:
+        return None
+    s = trk.samples[0]
+    frame = payload[s.offset : s.offset + s.size]
+    if frame[:2] != b"\xff\xd8":
+        return None
+    return decode_jpeg(frame)
+
+
+def make_mjpeg_mp4(frames_px: list[np.ndarray], frame_ms: int = 40,
+                   samples_per_chunk: int = 3, scale: float = 1.0) -> bytes:
+    """Pixel arrays -> a Motion-JPEG MP4: each frame JPEG-encoded, then
+    packed as the container's samples (round-trips through
+    decode_mjpeg_mp4 / sample_frames + decode_jpeg)."""
+    return make_mp4([make_jpeg(px, scale=scale) for px in frames_px],
+                    frame_ms=frame_ms, samples_per_chunk=samples_per_chunk)
+
+
 def decode_media(payload: bytes) -> np.ndarray | None:
     """Magic-byte dispatch to the real decoders; None if no stdlib
-    decoder applies (MP4/H.264 — production swaps in ffmpeg)."""
+    decoder applies (non-JPEG video codecs — production swaps in
+    ffmpeg)."""
     if payload[:2] == b"BM":
         img = decode_bmp(payload)
         if img is not None:
@@ -583,6 +614,10 @@ def decode_media(payload: bytes) -> np.ndarray | None:
         got = decode_wav(payload)
         if got is not None:
             return _audio_features(*got)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        img = decode_mjpeg_mp4(payload)
+        if img is not None:
+            return _image_features(img)
     return None
 
 
@@ -672,6 +707,8 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFra
                     img = decode_gif(payload)
                 elif payload[:2] == b"\xff\xd8":
                     img = decode_jpeg(payload)
+                elif len(payload) >= 12 and payload[4:8] == b"ftyp":
+                    img = decode_mjpeg_mp4(payload)  # MJPEG first frame
                 if img is not None:
                     if img.ndim == 3:
                         img = img.mean(axis=2).astype(np.uint8)
@@ -699,9 +736,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     payloads that parse as MP4 the frame bytes are REAL — the container's
     stts/stsc/stsz/stco sample tables locate the sample covering each
     grid point and its exact byte range + decode timestamp are emitted
-    (`sources/mp4_box.py`); only the codec bitstream inside the sample
-    stays undecoded (production: ffmpeg).  Unparseable payloads keep the
-    deterministic hash stub.  The EXPLODE-shaped Arrow batch flow — one
+    (`sources/mp4_box.py`); Motion-JPEG samples are then directly
+    decodable by `decode_jpeg` (non-JPEG codec bitstreams — H.264 etc.
+    — stay undecoded; production: ffmpeg).  Unparseable payloads keep
+    the deterministic hash stub.  The EXPLODE-shaped Arrow batch flow — one
     input row fanning out to duration/every_ms output rows — happens
     inside the Python worker so no JVM-side row blow-up precedes the
     per-frame work."""
@@ -751,10 +789,10 @@ def synthetic_media_df(spark, n: int = 64):
     """Deterministic media fixture.  Image rows alternate REAL formats
     (BMP / P6 PPM, pixels derived from the id) so the pipeline exercises
     the genuine decoders; audio rows are real PCM WAV sine-ish tones;
-    video rows alternate REAL MP4 containers (frame sampling resolves
-    true sample byte ranges) and opaque bytes (the documented stub path,
-    ``decoded = false`` — the codec bitstream itself has no stdlib
-    decoder either way)."""
+    video rows alternate REAL Motion-JPEG MP4 containers (sample tables
+    resolve true byte ranges AND the JPEG frames decode to pixels,
+    ``decoded = true``) and opaque bytes (the documented stub path for
+    codecs with no stdlib decoder — H.264 etc., ``decoded = false``)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -795,17 +833,22 @@ def synthetic_media_df(spark, n: int = 64):
         else:
             mime = "video/mp4"
             if (i // 3) % 2 == 0:
-                # REAL MP4 container: sample tables resolve to these
-                # frames (frame_ms varies by i//3 — video rows all have
-                # i % 3 == 2, so i % 3 would be constant)
+                # REAL Motion-JPEG MP4: sample tables resolve to JPEG
+                # frames that decode to pixels end-to-end (frame_ms
+                # varies by i//3 — video rows all have i % 3 == 2, so
+                # i % 3 would be constant)
                 n_fr = 3 + i % 5
                 frame_ms = 400 + 200 * ((i // 3) % 3)
-                payload = make_mp4(
-                    [hashlib.sha256(f"frame-{i}-{k}".encode()).digest()
-                     for k in range(n_fr)],
-                    frame_ms=frame_ms,
-                    samples_per_chunk=2,
-                )
+                frames_px = [
+                    np.frombuffer(
+                        (hashlib.sha256(f"frame-{i}-{k}".encode()).digest()
+                         * (w * h * 3 // 32 + 1))[: w * h * 3],
+                        dtype=np.uint8,
+                    ).reshape(h, w, 3)
+                    for k in range(n_fr)
+                ]
+                payload = make_mjpeg_mp4(frames_px, frame_ms=frame_ms,
+                                         samples_per_chunk=2)
                 dur = n_fr * frame_ms
             else:
                 payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)

@@ -240,3 +240,52 @@ def test_paragraph_duplicate_groups(spark):
 
     assert g["para_hash"] == hashlib.md5(shared.encode()).hexdigest()
     assert g["keep_id"] == 1 and g["n_docs"] == 4 and g["n_occur"] == 4
+
+
+def test_quality_model_separates_and_is_map_only(spark):
+    """Model-based quality filter (fastText/CCNet shape): the fitted
+    hashed-ngram linear classifier separates planted junk from natural
+    docs perfectly at sf0.01, the scoring plan is map-only (no
+    Exchange — one scan, column exprs), and the offline fit is
+    bit-deterministic across refits."""
+    from document_retrieval_system_spark import entry_queries as eq
+    from document_retrieval_system_spark.plans.explain import formatted_plan
+
+    sf = "/root/testdata/sf0.01"
+    out = eq.q_ta_quality_model(spark, sf)
+    rows = out.collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["keep"] == (r["doc_id"] % eq.QM_JUNK_MOD != 3), r
+    plan = formatted_plan(out)
+    assert "Exchange" not in plan
+
+    w1, b1 = eq._qm_fitted(sf)
+    eq._qm_model_cache.clear()
+    w2, b2 = eq._qm_fitted(sf)
+    assert w1 == w2 and b1 == b2
+    # quantized ints are genuinely informative, not all-zero
+    assert sum(1 for v in w1 if v != 0) > 100
+
+
+def test_quality_model_edge_docs(spark):
+    """Empty/NULL/non-letter docs score exactly the bias (no grams) and
+    single-token docs flow through the unigram path."""
+    from document_retrieval_system_spark.operators.quality_model import (
+        fit_quality_model,
+        quantize_weights,
+        score_quality_model,
+    )
+
+    pos = ["good natural document text here " * 3] * 4
+    neg = ["spam junk buy now " * 5] * 4
+    w, b = fit_quality_model(pos, neg)
+    w_int = quantize_weights(w)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "12345 !!!"), (4, "natural"), (5, "spam")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           score_quality_model(df, w_int, b).collect()}
+    assert got[1]["qm_score"] == b == got[2]["qm_score"] == got[3]["qm_score"]
+    assert got[4]["qm_score"] > got[5]["qm_score"]

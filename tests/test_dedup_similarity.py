@@ -218,7 +218,9 @@ def test_multimodal_real_stdlib_decoders(spark):
     for r in rows:
         by_kind.setdefault(r["kind"], []).append(r["decoded"])
     assert all(by_kind["image"]) and all(by_kind["audio"])
-    assert not any(by_kind["video"])
+    # video rows: MJPEG MP4s decode end-to-end (container + JPEG), the
+    # opaque-codec rows keep the documented decoded=false stub path
+    assert sorted(by_kind["video"]) == [False, False, True, True]
 
     # resize consumes REAL pixels for bmp payloads: a constant image
     # resizes to constant bytes (the stub would give hash noise)
@@ -351,6 +353,139 @@ def test_winnow_overlap_pairs_guarantee_and_cap(spark):
     )
     assert winnow_overlap_pairs(clones, min_shared=1, bucket_cap=5).count() == 0
     assert winnow_overlap_pairs(clones, min_shared=1, bucket_cap=6).count() > 0
+
+
+def test_cap_drop_observation_metrics(spark):
+    """NO SILENT CAPS: the skew-cap stages report dropped/total row
+    counts through pyspark.sql.Observation — exact ground truth for the
+    winnow fingerprint cap and the LSH band-bucket cap."""
+    from collections import Counter
+
+    from pyspark.sql import Observation
+
+    from document_retrieval_system_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        winnow_overlap_pairs,
+    )
+    from document_retrieval_system_spark.operators.textstats import (
+        winnowed_sets,
+    )
+
+    big = " ".join(f"tok{i:03d}" for i in range(120))
+    docs = [(i, big) for i in range(6)] + [
+        (10, "some unrelated text that is long enough to winnow alone"),
+        (11, "another distinct document body with no overlap whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # ground truth: every fp held by the 6 clones appears 6 times -> all
+    # those (id, fp) rows are dropped at cap=5; the two singletons stay
+    fp_rows = [(r["doc_id"], fp) for r in winnowed_sets(df).collect()
+               for fp in r["fps"]]
+    by_fp = Counter(fp for _, fp in fp_rows)
+    want_dropped = sum(1 for _, fp in fp_rows if by_fp[fp] > 5)
+    assert want_dropped > 0
+
+    obs = Observation("winnow-caps")
+    out = winnow_overlap_pairs(df, min_shared=1, bucket_cap=5,
+                               observation=obs)
+    assert out.count() == 0
+    assert obs.get["cap_dropped_rows"] == want_dropped
+    assert obs.get["cap_total_rows"] == len(fp_rows)
+
+    # LSH band cap: 6 clones share every band key -> 6 rows per hot
+    # bucket dropped at cap=5; a fresh Observation per action
+    obs2 = Observation("lsh-caps")
+    cand = minhash_lsh_candidates(df, bucket_cap=5, observation=obs2)
+    assert cand.count() == 0 or all(
+        r["id_a"] >= 10 or r["id_b"] >= 10 for r in cand.collect()
+    )
+    got = obs2.get
+    assert got["cap_dropped_rows"] > 0
+    assert got["cap_total_rows"] >= got["cap_dropped_rows"]
+
+    # exact_overlap_spans gram cap: 6 clones make every gram 6-hot ->
+    # all (id, pos) gram rows dropped at cap=5, zero spans survive
+    from document_retrieval_system_spark.operators.dedup import (
+        exact_overlap_spans,
+    )
+
+    obs3 = Observation("gram-caps")
+    spans = exact_overlap_spans(df, min_len=48, k=16, bucket_cap=5,
+                                observation=obs3)
+    n_grams_clones = 6 * (len(big) - 15)
+    assert spans.filter("id_a < 6 and id_b < 6").count() == 0
+    got3 = obs3.get
+    assert got3["cap_dropped_rows"] == n_grams_clones
+    # singletons' grams are unique (cold), they stay
+    assert got3["cap_total_rows"] > n_grams_clones
+
+
+def test_exact_overlap_spans_bruteforce(spark):
+    """exact_overlap_spans == an independent char-level brute force:
+    per pair, walk every alignment diagonal of the lowercased texts and
+    collect maximal equal-char runs >= min_len.  Covers multi-span
+    pairs, identical docs, offsets, case folding, below-threshold
+    overlaps, and the lossless-seed configuration."""
+    from document_retrieval_system_spark.operators.dedup import (
+        exact_overlap_spans,
+    )
+
+    shared1 = "the first planted passage travels between documents intact"
+    shared2 = "a second, different boilerplate block shared by two pages!!"
+    docs = {
+        1: "intro " + shared1 + " middle filler text " + shared2 + " end",
+        2: shared1.upper() + " unrelated tail material goes here",
+        3: "lead " + shared2 + " then " + shared1 + " outro",
+        4: "completely unrelated body with no common substrings at all",
+        5: "short overlap only: " + shared1[:30],
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    min_len, k = 48, 16
+
+    def brute(sa, ta):
+        sa, ta = sa.lower(), ta.lower()
+        out = set()
+        for d in range(-len(ta) + 1, len(sa)):
+            i = max(0, d)
+            j = i - d
+            run = 0
+            while i <= len(sa) and j <= len(ta):
+                same = i < len(sa) and j < len(ta) and sa[i] == ta[j]
+                if same:
+                    run += 1
+                else:
+                    if run >= min_len:
+                        out.add((i - run + 1, j - run + 1, run))
+                    run = 0
+                i += 1
+                j += 1
+        return out
+
+    want = set()
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            for s in brute(docs[a], docs[b]):
+                want.add((a, b, *s))
+    got = {(r["id_a"], r["id_b"], r["a_start"], r["b_start"], r["match_len"])
+           for r in exact_overlap_spans(
+               df, min_len=min_len, k=k, bucket_cap=None).collect()}
+    assert got == want
+    # sanity on the fixture itself: multiple spans exist, incl. a pair
+    # with two distinct spans (1, 3) and no (4, *) rows
+    assert len(want) >= 3
+    assert len({s for s in want if s[0] == 1 and s[1] == 3}) == 2
+    assert not any(4 in (s[0], s[1]) for s in want)
+    # identical docs -> one full-length span
+    clone = spark.createDataFrame(
+        [(1, docs[1]), (2, docs[1])], "doc_id long, text string"
+    )
+    one = exact_overlap_spans(clone, min_len=min_len, k=k,
+                              bucket_cap=None).collect()
+    assert len(one) == 1 and one[0]["match_len"] == len(docs[1])
+    assert one[0]["a_start"] == 1 and one[0]["b_start"] == 1
 
 def test_gif_decoder_round_trips(spark):
     """Pure-stdlib GIF decode (full LZW incl. 12-bit dict reset,
@@ -541,6 +676,67 @@ def test_mp4_container_parse_real_sample_tables(spark):
     # type(4) + version/flags(4) + creation(4) + modification(4) = 16
     zt[i + 16 : i + 20] = b"\x00\x00\x00\x00"  # timescale = 0
     assert parse_mp4_samples(bytes(zt)) is None
+
+
+def test_mjpeg_mp4_end_to_end_decode(spark):
+    """MJPEG-in-MP4 composition: JPEG frames inside an MP4 container
+    decode end-to-end — sample_frames emits the exact encoded frame
+    bytes, each decodes via decode_jpeg to pixels near the source, and
+    decode_media / resize_images treat the whole payload as a decodable
+    video (decoded=true, no stub)."""
+    import numpy as np
+
+    from document_retrieval_system_spark.sources.jpeg_codec import decode_jpeg
+    from document_retrieval_system_spark.sources.multimodal import (
+        _image_features,
+        decode_media,
+        decode_mjpeg_mp4,
+        make_mjpeg_mp4,
+        resize_images,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(17)
+    # smooth gradients: JPEG error stays small and measurable
+    frames_px = []
+    for k in range(4):
+        yy, xx = np.mgrid[0:24, 0:16]
+        px = ((yy * 5 + xx * 3 + 40 * k) % 256).astype(np.uint8)
+        frames_px.append(np.stack([px, 255 - px, px // 2], axis=2))
+    buf = make_mjpeg_mp4(frames_px, frame_ms=500, scale=0.25)
+
+    # direct: first frame decodes with bounded error
+    first = decode_mjpeg_mp4(buf)
+    assert first is not None and first.shape == (24, 16, 3)
+    assert np.abs(first.astype(float) - frames_px[0].astype(float)).mean() < 8.0
+    # dispatch: decode_media yields REAL image features of that frame
+    assert np.allclose(decode_media(buf), _image_features(first))
+
+    media = spark.createDataFrame(
+        [(0, "u", "video", buf, "video/mp4", 16, 24, 2000)],
+        "media_id long, url string, kind string, payload binary, "
+        "mime string, width int, height int, duration_ms int",
+    )
+    # every sampled frame is valid JPEG decoding near its source frame
+    out = sample_frames(media, every_ms=500).collect()
+    assert len(out) == 4
+    for r in out:
+        k = r["frame_no"]
+        img = decode_jpeg(bytes(r["frame"]))
+        assert img is not None and r["ts_ms"] == 500 * k
+        assert np.abs(img.astype(float) - frames_px[k].astype(float)).mean() < 8.0
+    # resize consumes the REAL first-frame pixels (not the hash stub):
+    # nearest-neighbor of the decoded grayscale, reproducible here
+    rz = resize_images(media, 4, 4).collect()[0]
+    gray = first.mean(axis=2).astype(np.uint8)
+    ys = np.arange(4) * 24 // 4
+    xs = np.arange(4) * 16 // 4
+    assert bytes(rz["pixels"]) == gray[np.ix_(ys, xs)].tobytes()
+    # non-JPEG samples (H.264-class, out of scope) -> None, stub path
+    from document_retrieval_system_spark.sources.mp4_box import make_mp4
+
+    opaque = make_mp4([rng.bytes(64) for _ in range(3)], frame_ms=200)
+    assert decode_mjpeg_mp4(opaque) is None and decode_media(opaque) is None
 
 
 def test_mp4_parser_corruption_fuzz_never_raises(spark):
