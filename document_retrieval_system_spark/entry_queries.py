@@ -1888,6 +1888,58 @@ WHERE d.doc_id != ev.eval_id
 GROUP BY d.doc_id, ev.eval_id"""
 
 
+DECON_DROP_TAU = 0.05
+
+
+def q_corpus_decon_verdicts(spark, sf_dir):
+    """Per-doc contamination VERDICTS — the decision layer over the
+    pair output: for every training doc (doc_id % 31 != 0), the max
+    shared-gram fraction against any eval doc and a keep/drop flag.
+    The e2e story becomes "which docs leave the corpus"."""
+    from document_retrieval_system_spark.operators.curate import (
+        contamination_verdicts,
+    )
+
+    d = _docs(spark, sf_dir)
+    return contamination_verdicts(
+        d.filter(F.col("doc_id") % DECON_EVAL_MOD != 0),
+        d.filter(F.col("doc_id") % DECON_EVAL_MOD == 0),
+        ngram=DECON_NGRAM, threshold=DECON_DROP_TAU,
+    )
+
+
+SQL_CORPUS_DECON_VERDICTS = "WITH " + SQL_TOKS + f""",
+dgrams AS (SELECT doc_id, unnest({_sql_grams(DECON_NGRAM)}) AS gram FROM toks),
+ev AS (SELECT doc_id AS eval_id, gram FROM dgrams
+       WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, gram FROM dgrams WHERE doc_id % {DECON_EVAL_MOD} != 0),
+pairs AS (
+  SELECT tr.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM tr JOIN ev USING (gram)
+  GROUP BY tr.doc_id, ev.eval_id
+),
+worst AS (
+  SELECT doc_id, n_shared AS max_shared, eval_id AS worst_eval_id FROM (
+    SELECT doc_id, eval_id, n_shared,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_shared DESC, eval_id) AS rn
+    FROM pairs) WHERE rn = 1
+),
+counts AS (
+  SELECT doc_id, CAST(len({_sql_grams(DECON_NGRAM)}) AS BIGINT) AS n_grams
+  FROM toks WHERE doc_id % {DECON_EVAL_MOD} != 0
+)
+SELECT *, overlap_frac >= {DECON_DROP_TAU} AS drop_flag FROM (
+  SELECT c.doc_id, c.n_grams,
+         coalesce(w.max_shared, 0)::BIGINT AS max_shared,
+         coalesce(w.worst_eval_id, -1)::BIGINT AS worst_eval_id,
+         CASE WHEN w.max_shared IS NULL OR c.n_grams = 0 THEN 0.0::DOUBLE
+              ELSE CAST(w.max_shared AS DOUBLE) / CAST(c.n_grams AS DOUBLE)
+         END AS overlap_frac
+  FROM counts c LEFT JOIN worst w USING (doc_id)
+)"""
+
+
 TOKEN_BUDGET = 2_000
 
 
@@ -2759,6 +2811,7 @@ QUERIES = {
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
     "corpus_decontaminate": (q_corpus_decontaminate, SQL_CORPUS_DECON),
+    "corpus_decon_verdicts": (q_corpus_decon_verdicts, SQL_CORPUS_DECON_VERDICTS),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE),

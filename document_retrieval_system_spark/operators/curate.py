@@ -205,6 +205,58 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, ngram: int = 8,
     )
 
 
+def contamination_verdicts(train: DataFrame, eval_df: DataFrame,
+                           ngram: int = 8, threshold: float = 0.1,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           eval_id_col: str = "eval_id") -> DataFrame:
+    """The decision layer over `decontaminate`: a per-TRAINING-doc
+    verdict — (doc_id, n_grams, max_shared, worst_eval_id,
+    overlap_frac, drop_flag) — so the e2e story is "which docs leave the
+    corpus", not just "which pairs overlap".
+
+    overlap_frac = max over eval docs of n_shared_grams / n_grams(train
+    doc); ``drop_flag`` when that fraction reaches ``threshold``.  Docs with
+    zero overlap keep a 0.0 fraction (left join), so the output covers
+    EVERY training doc.
+
+    Scale shape: the pair stage inherits decontaminate's broadcast
+    (eval side small); the per-doc gram counts are map-only; the final
+    join attaches the (tiny — contaminated docs only) per-doc maxima
+    back to the counts, and the verdict comparison is one double
+    division per doc — order-free, engine-exact."""
+    from document_retrieval_system_spark.operators.textstats import (
+        simple_tokens,
+        word_ngrams,
+    )
+
+    pairs = decontaminate(train, eval_df, ngram, id_col, text_col,
+                          eval_id_col)
+    counts = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.array_distinct(word_ngrams(simple_tokens(F.col(text_col)), ngram))
+        ).cast("long").alias("n_grams"),
+    )
+    # worst eval doc per train doc: max shared count, ties to the
+    # smallest eval id (deterministic across engines)
+    worst = pairs.groupBy("doc_id").agg(
+        F.max("n_shared_grams").alias("max_shared"),
+        F.expr("min_by(eval_id, struct(-n_shared_grams, eval_id))")
+        .alias("worst_eval_id"),
+    )
+    out = counts.join(F.broadcast(worst), "doc_id", "left")
+    frac = F.when(
+        F.col("max_shared").isNull() | (F.col("n_grams") == 0), F.lit(0.0)
+    ).otherwise(F.col("max_shared").cast("double") / F.col("n_grams").cast("double"))
+    return out.select(
+        "doc_id", "n_grams",
+        F.coalesce(F.col("max_shared"), F.lit(0).cast("long")).alias("max_shared"),
+        F.coalesce(F.col("worst_eval_id"), F.lit(-1).cast("long")).alias("worst_eval_id"),
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(float(threshold))).alias("drop_flag"),
+    )
+
+
 def canonical_url(url):
     """Canonicalize a web URL column: strip the fragment, lowercase the
     scheme+authority, drop scheme-DEFAULT ports only (http:80 / https:443

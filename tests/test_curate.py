@@ -289,3 +289,41 @@ def test_quality_model_edge_docs(spark):
            score_quality_model(df, w_int, b).collect()}
     assert got[1]["qm_score"] == b == got[2]["qm_score"] == got[3]["qm_score"]
     assert got[4]["qm_score"] > got[5]["qm_score"]
+
+
+def test_contamination_verdicts(spark):
+    """Per-doc contamination verdicts: the copied doc drops, the
+    partial-overlap doc keeps with the right fraction, clean docs keep
+    with 0.0, and every training doc appears exactly once."""
+    from document_retrieval_system_spark.operators.curate import (
+        contamination_verdicts,
+    )
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, eval_text),                                   # full copy
+            (2, "noise one two " + eval_text.split(" eta")[0]),  # partial
+            (3, "totally unrelated body of words without overlap"),
+            (4, ""),                                          # no grams
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, eval_text), (101, "nothing shared here at all truly")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           contamination_verdicts(train, ev, ngram=3, threshold=0.75).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # doc 1: all 8 trigrams shared -> frac 1.0, drop, worst = 100
+    assert got[1]["n_grams"] == 8 and got[1]["max_shared"] == 8
+    assert got[1]["overlap_frac"] == 1.0 and got[1]["drop_flag"]
+    assert got[1]["worst_eval_id"] == 100
+    # doc 2: 9 tokens -> 7 trigrams, 4 lie inside the copied prefix
+    assert got[2]["overlap_frac"] == 4 / 7 and not got[2]["drop_flag"]
+    assert got[2]["worst_eval_id"] == 100
+    # clean + empty docs: zero overlap, sentinel worst id, keep
+    for d in (3, 4):
+        assert got[d]["max_shared"] == 0 and got[d]["overlap_frac"] == 0.0
+        assert got[d]["worst_eval_id"] == -1 and not got[d]["drop_flag"]
