@@ -303,6 +303,86 @@ def ivf_topk(spark, index_dir: str, query: list[float], cents: np.ndarray,
     )
 
 
+def ivf_upsert(spark, index_dir: str, new_emb: DataFrame, cents: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> dict:
+    """Incremental IVF maintenance: vectors stream in, the index stays
+    queryable — the I6 story the text index already has, for ANN.
+
+    New vectors are assigned to their nearest EXISTING centroid (the
+    cells are frozen between refits, as in every production IVF system:
+    FAISS `add`, Milvus growing segments) and land in that cell's
+    partition; a resent ``vec_id`` supersedes its stored row even when
+    the new vector moves it to a DIFFERENT cell.  Only affected cell
+    partitions are rewritten (dynamic partition overwrite — the
+    streaming text-index rewrite pattern, `incremental.py`), so cost
+    scales with touched cells, not index size:
+
+    1. assign the batch to cells (one map-only pass, centroid literals);
+    2. locate old versions of resent ids with one column-pruned scan
+       (`vec_id` predicate pushdown; output is O(batch));
+    3. affected = old cells ∪ new cells; survivors = affected-cell rows
+       minus resent ids (broadcast anti-join);
+    4. eager localCheckpoint (the read path is about to be overwritten —
+       lineage must not re-read it), then dynamic-overwrite ONLY the
+       affected partitions.
+
+    Queries need no coordination: `ivf_topk` works unchanged, partition
+    pruning still holds (pinned in tests).  Centroids drift as inserts
+    accumulate; `ivf_refit_needed` flags when a refit-and-rebuild (the
+    compaction analog) is due.  Returns counts for observability."""
+    assigned = new_emb.select(
+        F.col(id_col), F.col(vec_col),
+        F.concat(F.lit(_BUCKET_TAG),
+                 ivf_assign_col(F.col(vec_col), cents).cast("string"))
+        .alias("ivf_cell"),
+    ).localCheckpoint(eager=True)
+    new_ids = assigned.select(id_col).distinct()
+    existing = spark.read.parquet(index_dir)
+    old_cells = {
+        r["ivf_cell"]
+        for r in existing.join(F.broadcast(new_ids), id_col, "leftsemi")
+        .select("ivf_cell").distinct().collect()
+    }
+    new_cells = {r["ivf_cell"] for r in assigned.select("ivf_cell").distinct().collect()}
+    affected = sorted(old_cells | new_cells)
+    survivors = (
+        existing.filter(F.col("ivf_cell").isin(affected))
+        .join(F.broadcast(new_ids), id_col, "left_anti")
+        .select(id_col, vec_col, "ivf_cell")
+    )
+    out = survivors.unionByName(assigned).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("ivf_cell").parquet(index_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"batch_rows": assigned.count(), "affected_cells": len(affected),
+            "rewritten_rows": out.count()}
+
+
+def ivf_refit_needed(spark, index_dir: str, cents: np.ndarray,
+                     max_drift_frac: float = 0.25,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> bool:
+    """Compaction trigger: pass CANDIDATE centroids freshly fitted on
+    the current data (`ivf_centroids` — sample-based, cheap) and get
+    True when the fraction of stored vectors whose nearest candidate
+    centroid differs from their stored cell exceeds ``max_drift_frac``
+    — i.e. the frozen build-time cells have drifted from the data
+    enough that a rebuild (`build_ivf_index` with the candidates) pays
+    for itself.  One column scan, no shuffle."""
+    df = spark.read.parquet(index_dir)
+    recomputed = F.concat(
+        F.lit(_BUCKET_TAG), ivf_assign_col(F.col(vec_col), cents).cast("string")
+    )
+    stats = df.agg(
+        F.count("*").alias("n"),
+        F.sum((recomputed != F.col("ivf_cell")).cast("long")).alias("moved"),
+    ).collect()[0]
+    return stats["n"] > 0 and stats["moved"] / stats["n"] > max_drift_frac
+
+
 def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, sig_bits: int = 16,
              hamming_probe: int = 3, seed: int = 7,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

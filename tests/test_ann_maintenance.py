@@ -1,0 +1,128 @@
+"""Incremental ANN maintenance: vectors stream into a live IVF index
+(insert + update), queries stay correct, partition pruning survives, and
+the drift trigger knows when a refit-and-rebuild is due — the I6
+streaming story, for the vector index."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from document_retrieval_system_spark.operators import similarity
+
+
+def _mk(rng, centers, cluster, n, start_id, dim, noise=0.03):
+    rows = []
+    for i in range(n):
+        v = centers[cluster] + noise * rng.standard_normal(dim)
+        rows.append((start_id + i, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def ivf_world(spark):
+    """14 base clusters x 10 vectors (ids 0..139) + 6 later clusters x 10
+    (ids 140..199) + replacement vectors for 5 base ids that MOVE them
+    into a later cluster."""
+    rng = np.random.default_rng(23)
+    dim = 16
+    centers = rng.standard_normal((20, dim))
+    base = []
+    for c in range(14):
+        base += _mk(rng, centers, c, 10, c * 10, dim)
+    fresh = []
+    for j, c in enumerate(range(14, 20)):
+        fresh += _mk(rng, centers, c, 10, 140 + j * 10, dim)
+    moved = [(vid, vec) for (vid, _), (_, vec) in
+             zip(base[:5], _mk(rng, centers, 19, 5, 0, dim))]
+    schema = "vec_id long, embedding array<float>"
+    return {
+        "base": spark.createDataFrame(base, schema),
+        "batch": spark.createDataFrame(fresh + moved, schema),
+        "full": spark.createDataFrame(
+            [r for r in base if r[0] >= 5] + fresh + moved, schema),
+        "centers": centers,
+        "dim": dim,
+    }
+
+
+def test_ivf_upsert_equals_rebuild_and_prunes(spark, ivf_world, tmp_path):
+    """After insert+update maintenance, the index holds EXACTLY what a
+    from-scratch build over the merged data (same frozen centroids)
+    holds — same rows, same cells — and ivf_topk still carries an
+    ivf_cell PartitionFilter."""
+    cents = similarity.ivf_centroids(ivf_world["base"], n_clusters=12,
+                                     iters=10, seed=7)
+    live = str(tmp_path / "ivf_live")
+    similarity.build_ivf_index(ivf_world["base"], live, cents)
+
+    stats = similarity.ivf_upsert(spark, live, ivf_world["batch"], cents)
+    assert stats["batch_rows"] == 65
+    assert 0 < stats["affected_cells"] <= 12
+
+    fresh_dir = str(tmp_path / "ivf_fresh")
+    similarity.build_ivf_index(ivf_world["full"], fresh_dir, cents)
+    got = {(r["vec_id"], r["ivf_cell"], tuple(r["embedding"]))
+           for r in spark.read.parquet(live).collect()}
+    want = {(r["vec_id"], r["ivf_cell"], tuple(r["embedding"]))
+            for r in spark.read.parquet(fresh_dir).collect()}
+    assert got == want
+    # every id exactly once: updates replaced, never duplicated
+    assert len({g[0] for g in got}) == len(got) == 200
+
+    # queries after maintenance: pruning pinned + exact same-cluster recall
+    q = [float(x) for x in
+         ivf_world["batch"].filter(F.col("vec_id") == 150).head()["embedding"]]
+    res = similarity.ivf_topk(spark, live, q, cents, k=10, nprobe=3,
+                              pre_filter=F.col("vec_id") != 150)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan.split("PartitionFilters", 1)[1][:500]
+    exact = similarity.cosine_topk(
+        ivf_world["full"].filter(F.col("vec_id") != 150), q, k=10).collect()
+    got_top = res.collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got_top[:9]] == [
+        (r["vec_id"], r["cosine"]) for r in exact[:9]
+    ]
+
+
+def test_ivf_upsert_moves_updated_ids_across_cells(spark, ivf_world, tmp_path):
+    """A resent vec_id whose new vector belongs to a different cell must
+    leave its old partition (no stale row shadowing the update)."""
+    cents = similarity.ivf_centroids(ivf_world["base"], n_clusters=12,
+                                     iters=10, seed=7)
+    live = str(tmp_path / "ivf_live2")
+    similarity.build_ivf_index(ivf_world["base"], live, cents)
+    before = {r["vec_id"]: r["ivf_cell"]
+              for r in spark.read.parquet(live).filter("vec_id < 5").collect()}
+    similarity.ivf_upsert(spark, live, ivf_world["batch"], cents)
+    after_rows = spark.read.parquet(live).filter("vec_id < 5").collect()
+    after = {r["vec_id"]: r["ivf_cell"] for r in after_rows}
+    assert len(after_rows) == 5 == len(after)
+    # ids 0..4 were re-sent with vectors from a far cluster: cell changed
+    assert any(after[i] != before[i] for i in range(5))
+    # and the stored vector is the NEW one (matches the batch payload)
+    batch_vec = {r["vec_id"]: tuple(r["embedding"])
+                 for r in ivf_world["batch"].filter("vec_id < 5").collect()}
+    for r in after_rows:
+        assert tuple(r["embedding"]) == batch_vec[r["vec_id"]]
+
+
+def test_ivf_refit_trigger(spark, ivf_world, tmp_path):
+    """Frozen centroids on unchanged data: no drift. After six unseen
+    clusters stream in, candidate centroids refit on the merged data
+    reassign enough vectors to trip the rebuild trigger."""
+    cents = similarity.ivf_centroids(ivf_world["base"], n_clusters=12,
+                                     iters=10, seed=7)
+    live = str(tmp_path / "ivf_live3")
+    similarity.build_ivf_index(ivf_world["base"], live, cents)
+    assert not similarity.ivf_refit_needed(spark, live, cents,
+                                           max_drift_frac=0.0)
+    similarity.ivf_upsert(spark, live, ivf_world["batch"], cents)
+    merged = spark.read.parquet(live).select("vec_id", "embedding")
+    cand = similarity.ivf_centroids(merged, n_clusters=12, iters=10, seed=7)
+    assert similarity.ivf_refit_needed(spark, live, cand, max_drift_frac=0.05)
+    # the rebuild restores zero drift against the candidates
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    similarity.build_ivf_index(merged, rebuilt, cand)
+    assert not similarity.ivf_refit_needed(spark, rebuilt, cand,
+                                           max_drift_frac=0.0)
