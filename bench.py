@@ -253,6 +253,34 @@ def main() -> None:
             shutil.rmtree(idx_dir, ignore_errors=True)
     timings["index_build"] = round(build_sec, 3)
 
+    # sf1.0 (10x) section: recorded by tools/bench_sf1.py (a ~25-min
+    # two-scale run: suite at sf0.1 AND a deterministically synthesized
+    # 10x table set, plus 200k-page build and 400k-page clustered WAND).
+    # Too long for the per-round driver bench, so the committed artifact
+    # is embedded with provenance (tool, commit) — set
+    # SPARK_GRAFT_BENCH_SF1=1 to re-run it live instead.
+    sf1_section = None
+    sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "bench_sf1_results.json")
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as f:
+            sf1_section = json.load(f)
+
+    # embedded zh dictionary quality (tools/bench_zh_dict.py; cheap, live)
+    import subprocess
+
+    zh = None
+    try:
+        zh_out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_zh_dict.py")],
+            capture_output=True, text=True, timeout=120,
+        )
+        zh = json.loads(zh_out.stdout.strip().splitlines()[-1])
+    except Exception:
+        pass
+
     # headline value: sum of per-query minima + best index build — the
     # drift-controlled suite time (raw wall time would just count `passes`)
     total = round(sum(timings[q] for q in bench_queries) + build_sec, 3)
@@ -264,6 +292,8 @@ def main() -> None:
         "passes": passes,
         "wand_blocks": wand_blocks,
         "dedup_caps": dedup_caps,
+        "sf1": sf1_section,
+        "zh_dict": zh,
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "index_build": {

@@ -724,12 +724,12 @@ ORDER BY cosine DESC, vec_id LIMIT 10"""
 
 
 EMB_SIG_BITS, EMB_BAND_SIZE, EMB_SEED, EMB_DIM = 64, 8, 7, 64
-EMB_PLANT_N, EMB_PLANT_OFFSET = 50, 10000
+EMB_PLANT_N, EMB_PLANT_OFFSET = 50, 10_000_000  # offset above any real vec_id at every sf
 
 
 def _emb_augmented(emb: DataFrame) -> DataFrame:
     """embeddings ∪ planted near-duplicates, derived deterministically
-    from the input: vec_id < EMB_PLANT_N re-emitted as vec_id + 10000
+    from the input: vec_id < EMB_PLANT_N re-emitted as vec_id + EMB_PLANT_OFFSET
     with a per-element scale in [1.000, 1.004] (cosine vs the original
     >= 0.99999).  The synthetic embeddings' max pairwise cosine is 0.51,
     so WITHOUT planting, any sane threshold returns the empty set and

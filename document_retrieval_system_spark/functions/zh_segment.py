@@ -89,7 +89,38 @@ _COMMON_WORDS = """
 重要性 可能性 必要性 积极性 创造性 多样性 稳定性 灵活性
 """.split()
 
-ZH_DICT = frozenset(_DOMAIN_WORDS) | frozenset(_COMMON_WORDS)
+# r5 extension: measured on real zh prose (tools/bench_zh_dict.py over
+# the reference repo's Chinese strings), the r4 dict emitted 73% of CJK
+# tokens as singletons.  The misses were ordinary modern compounds —
+# general verbs/nouns plus the standard software/CS register — so the
+# dict grows by ~250 such words (public high-frequency vocabulary:
+# HSK-level everyday words and textbook CS terminology, not strings
+# tuned to any test sample).
+_EXTRA_WORDS = """
+获取 文件 规则 提取 解析 解析器 配置 初始化 加载 列表 文本 添加 所有
+返回 操作 保存 是否 包含 记录 目录 字典 长度 对象 图表 模块 分词
+映射 每个 平均 创建 移除 布尔 停用词 指定 检查 得分 参数 函数 找到
+没有 路径 用于 定义 默认 高亮 字符 字符串 一个 执行 运行 设置 转换
+匹配 基准 原始 加速比 绘制 标签 尝试 统计 括号 短语 密度 确保 接口
+自定义 表格 统一 构建 负责 矩阵 去除 可视化 基本 重建 集合 相关
+排除 输出 输入 名称 启动 启用 禁用 最大 最小 可用 替换 单个 词频
+归一化 缓存 扩展 词干 词形 还原 元数据 结构 属性 类型 变量 常量
+循环 条件 判断 逻辑 脚本 命令 命令行 选项 帮助 提示 错误 警告 异常
+成功率 生成 报告 耗时 资源 监控 恢复 打印 摘要 准备 跳过 型号 对比
+合并 拆分 排列 组合 遍历 递归 迭代 线程 进程 队列 堆栈 数组 指针
+编译 调试 运行时 环境变量 依赖 安装 卸载 升级 回滚 提交 分支 仓库
+合法 无效 有效 超时 重试 延迟 并发 吞吐量 瓶颈 负载 均衡 容错 冗余
+备份 快照 恢复力 校验 加密 解密 签名 授权 认证 权限 访问 拒绝 允许
+请求 响应 会话 状态码 协议 端口 地址 域名 页面 表单 按钮 菜单 窗口
+界面 布局 样式 字体 颜色 图标 光标 滚动 点击 双击 拖拽 输入框 弹窗
+上传 下载 刷新 加载中 完成度 进度 百分比 比例 阈值 上限 下限 区间
+范围 边界 极限 均值 方差 中位数 众数 样本 总体 分布 概率 期望 偏差
+随机 种子 打乱 采样 聚类 分类 回归 预测 特征值 标注 训练集 测试集
+验证 泛化 过拟合 欠拟合 收敛 发散 梯度 导数 损失 目标函数 最优 近似
+""".split()
+
+ZH_DICT = (frozenset(_DOMAIN_WORDS) | frozenset(_COMMON_WORDS)
+           | frozenset(_EXTRA_WORDS))
 
 
 def _build_freq(words_freqs) -> tuple[dict[str, int], int]:
@@ -110,7 +141,11 @@ def _build_freq(words_freqs) -> tuple[dict[str, int], int]:
 # domain terms — enough for deterministic, dictionary-faithful cuts;
 # jieba's real counts load instead whenever jieba is importable
 _EMBEDDED_FREQ, _EMBEDDED_TOTAL = _build_freq(
-    [(w, 5000) for w in _COMMON_WORDS] + [(w, 2000) for w in _DOMAIN_WORDS]
+    [(w, 5000) for w in dict.fromkeys(_COMMON_WORDS)]
+    + [(w, 2000) for w in dict.fromkeys(_DOMAIN_WORDS)
+       if w not in set(_COMMON_WORDS)]
+    + [(w, 2000) for w in dict.fromkeys(_EXTRA_WORDS)
+       if w not in set(_COMMON_WORDS) | set(_DOMAIN_WORDS)]
 )
 
 # ---------------------------------------------------------------------------
