@@ -42,7 +42,8 @@ def main() -> None:
         "b8_prefix_search",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_ngram_jaccard3",
-        "dedup_clusters", "dedup_winnow", "dedup_spans", "emb_neardup",
+        "dedup_clusters", "dedup_winnow", "dedup_spans", "dedup_span_removal",
+        "emb_neardup",
         "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ta_langid", "ta_quality", "ta_fingerprint", "ta_pii",
         "ta_repetition", "dedup_paragraph",

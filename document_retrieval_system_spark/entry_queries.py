@@ -2108,6 +2108,64 @@ FROM runs GROUP BY id_a, id_b, diag, run
 HAVING max(pa) - min(pa) + {SPAN_K} >= {SPAN_MIN_LEN}"""
 
 
+def q_dedup_span_removal(spark, sf_dir):
+    """Span-removal decisions (Lee et al. '22): per document, the merged
+    character ranges scheduled for deletion (lower-id doc keeps each
+    shared passage) and the resulting keep fraction."""
+    from document_retrieval_system_spark.operators.dedup import (
+        span_removal_decisions,
+    )
+
+    return span_removal_decisions(
+        _docs(spark, sf_dir), min_len=SPAN_MIN_LEN, k=SPAN_K,
+        bucket_cap=None,
+    )
+
+
+SQL_DEDUP_SPAN_REMOVAL = SQL_DEDUP_SPANS.replace(
+    ")\nSELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start,", """),
+spans AS (
+SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start,"""
+).replace(
+    f"HAVING max(pa) - min(pa) + {SPAN_K} >= {SPAN_MIN_LEN}",
+    f"HAVING max(pa) - min(pa) + {SPAN_K} >= {SPAN_MIN_LEN})",
+) + """,
+iv AS (
+  SELECT id_b AS doc_id, b_start AS s, b_start + match_len AS e FROM spans
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+),
+grp AS (
+  SELECT doc_id, s, e,
+         sum(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+),
+merged AS (
+  SELECT doc_id, g, min(s) AS ms, max(e) AS me FROM grp GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ranges,
+         CAST(sum(me - ms) AS BIGINT) AS removed_chars
+  FROM merged GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_ranges, p.removed_chars,
+       CAST(length(lower(coalesce(d.text, ''))) AS BIGINT) AS total_chars,
+       CASE WHEN length(lower(coalesce(d.text, ''))) = 0 THEN 0.0::DOUBLE
+            ELSE 1.0::DOUBLE - CAST(p.removed_chars AS DOUBLE)
+                 / CAST(length(lower(coalesce(d.text, ''))) AS DOUBLE)
+       END AS keep_frac
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id"""
+
+
 # --- model-based quality filter (CCNet/fastText-shape) ---------------------
 
 QM_JUNK_MOD = 5        # doc_id % 5 == 3 -> planted low-quality doc
@@ -2807,6 +2865,7 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_winnow": (q_dedup_winnow, SQL_DEDUP_WINNOW),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
+    "dedup_span_removal": (q_dedup_span_removal, SQL_DEDUP_SPAN_REMOVAL),
     "ta_quality_model": (q_ta_quality_model, _sql_ta_quality_model),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),

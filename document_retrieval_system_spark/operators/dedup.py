@@ -618,6 +618,69 @@ def exact_overlap_spans(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def span_removal_decisions(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", min_len: int = 48,
+                           k: int = 16, bucket_cap: int | None = None,
+                           spans: DataFrame | None = None) -> DataFrame:
+    """The decision layer over `exact_overlap_spans` (Lee et al. '22
+    dedup removes all-but-one occurrence of every duplicated passage):
+    per document, the MERGED character ranges to delete and the
+    resulting keep fraction.
+
+    Policy: for every shared span (id_a < id_b) the lower-id document
+    keeps its copy; the higher-id side schedules its [b_start,
+    b_start + match_len) range for removal.  A document's ranges from
+    different partners may overlap, so they are merged with the
+    classic gaps-and-islands window (running max of range end over
+    preceding rows; a new island starts where start > that max) — one
+    window + one groupBy per doc, no UDF, engine-exact integers.
+
+    Output: (doc_id, n_ranges, removed_chars, total_chars, keep_frac)
+    for every document that loses at least one range."""
+    if spans is None:
+        spans = exact_overlap_spans(df, id_col, text_col, min_len, k,
+                                    bucket_cap)
+    iv = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("match_len")).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = iv.withColumn(
+        "_new", F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0),
+    ).withColumn(
+        "_grp", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = iv.groupBy("doc_id", "_grp").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me"),
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_ranges"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("removed_chars"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long").alias("total_chars"),
+    )
+    return (
+        per_doc.join(totals, "doc_id")
+        .select(
+            "doc_id", "n_ranges", "removed_chars", "total_chars",
+            F.when(F.col("total_chars") == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.col("removed_chars").cast("double")
+                / F.col("total_chars").cast("double")
+            ).alias("keep_frac"),
+        )
+    )
+
+
 def paragraph_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
                                text_col: str = "text",
                                min_len: int = 20) -> DataFrame:

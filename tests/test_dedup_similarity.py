@@ -966,3 +966,57 @@ def test_jpeg_decoder_corruption_fuzz_never_raises(spark):
                 buf.insert(rng.randrange(len(buf)), rng.randrange(256))
         out = decode_jpeg(bytes(buf))  # must not raise
         assert out is None or hasattr(out, "shape")
+
+
+def test_span_removal_decisions_bruteforce(spark):
+    """Span-removal decision layer == independent brute force: per doc,
+    the union of removed ranges (higher-id side of every >= min_len
+    shared span) merged into islands; covers overlapping ranges from
+    multiple partners, whole-doc duplicates (keep_frac 0), and docs
+    absent from the output when they only ever appear as the kept
+    (lower-id) side."""
+    from document_retrieval_system_spark.operators.dedup import (
+        exact_overlap_spans,
+        span_removal_decisions,
+    )
+
+    shared1 = "the first planted passage travels between documents intact"
+    shared2 = "a second, different boilerplate block shared by two pages!!"
+    docs = {
+        1: "intro " + shared1 + " middle filler text " + shared2 + " end",
+        2: shared1.upper() + " unrelated tail material goes here",
+        3: "lead " + shared2 + " then " + shared1 + " outro",
+        4: "completely unrelated body with no common substrings at all",
+        5: shared1 + " " + shared2,
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    min_len, k = 48, 16
+
+    spans = exact_overlap_spans(df, min_len=min_len, k=k).collect()
+    # brute-force merge per doc of the id_b-side ranges
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans:
+        per_doc.setdefault(r["id_b"], []).append(
+            (r["b_start"], r["b_start"] + r["match_len"]))
+    want = {}
+    for d, ivs in per_doc.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        removed = sum(e - s for s, e in merged)
+        total = len(docs[d].lower())
+        want[d] = (len(merged), removed, total,
+                   0.0 if total == 0 else 1.0 - removed / total)
+
+    got = {r["doc_id"]: (r["n_ranges"], r["removed_chars"],
+                         r["total_chars"], r["keep_frac"])
+           for r in span_removal_decisions(df, min_len=min_len, k=k).collect()}
+    assert got == want
+    assert 1 not in got          # doc 1 is the kept side everywhere
+    assert set(got) == {2, 3, 5}
+    # doc 5 is fully covered by docs 1/3 passages -> keep_frac low
+    assert got[5][3] < 0.1
