@@ -46,7 +46,7 @@ def main() -> None:
         "emb_neardup",
         "ann_cosine_topk", "ann_lsh_topk",
         "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ta_langid", "ta_quality", "ta_fingerprint", "ta_pii",
-        "ta_repetition", "dedup_paragraph",
+        "ta_repetition", "ta_c4_filters", "dedup_paragraph",
         "corpus_sample", "corpus_token_budget", "corpus_decontaminate",
         "corpus_decon_verdicts", "ta_quality_model", "url_dedup",
         "fuzzy_terms", "fuzzy_search", "events_asof", "events_range", "u2_boost_rescore",

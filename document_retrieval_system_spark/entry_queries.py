@@ -2786,6 +2786,152 @@ SELECT s.doc_id, s.n_lines,
 FROM lstat s LEFT JOIN t2 ON s.doc_id = t2.doc_id LEFT JOIN t3 ON s.doc_id = t3.doc_id"""
 
 
+# --- C4/Gopher heuristic filters -------------------------------------------
+# The raw synthetic corpus is one-line token soup (no newlines, no
+# terminal punctuation), so every line-level rule is exercised through
+# deterministic plants keyed on doc_id % 7; identical string ops on both
+# engines (concat / substr only).
+
+_C4_GOOD_LINES = [
+    "The opening sentence of this page is a clean and useful one.",
+    "It continues with a second sentence that is made of simple words.",
+    "The third sentence closes out the introduction in a tidy way.",
+]
+_C4_JS_LINE = "Please enable javascript to view the comments on this page."
+_C4_BRACE_LINE = "function f() { return 1; }"
+_C4_LOREM_LINE = "Lorem ipsum dolor sit amet, consectetur adipiscing elit sed."
+_C4_BULLET_LINES = ["- bullet item number %d" % i for i in range(1, 11)]
+_C4_ELLIPSIS_LINES = [
+    "The teaser text trails off here...",
+    "Another teaser line keeps trailing...",
+    "Still more suspense continues...",
+]
+
+
+def _c4_planted_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    nl = "\n"
+    planted = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(nl.join(_C4_GOOD_LINES) + nl), t))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(t, F.lit(nl + _C4_JS_LINE + nl + _C4_BRACE_LINE)))
+        .when(F.col("doc_id") % 7 == 2,
+              F.concat(F.lit(_C4_LOREM_LINE + nl), t))
+        .when(F.col("doc_id") % 7 == 3,
+              F.concat(t, F.lit(nl + nl.join(_C4_BULLET_LINES))))
+        .when(F.col("doc_id") % 7 == 4,
+              F.concat(t, F.lit(nl + nl.join(_C4_ELLIPSIS_LINES))))
+        .when(F.col("doc_id") % 7 == 5, F.substring(t, 1, 29))
+        .otherwise(t)
+    )
+    return d.withColumn("text", planted)
+
+
+def q_ta_c4_filters(spark, sf_dir):
+    """C4 line-keep rules + Gopher document rules (Raffel et al. 2020;
+    Rae et al. 2021) over planted page variants — the heuristic
+    keep/drop layer a webtext pipeline runs before dedup."""
+    return textstats.c4_gopher_filters(_c4_planted_docs(spark, sf_dir))
+
+
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_lines(lines: list[str]) -> str:
+    return " || chr(10) || ".join(_sqlq(x) for x in lines)
+
+
+_SQL_C4_PLANT = f"""
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+                {_sql_lines(_C4_GOOD_LINES)} || chr(10) || coalesce(text,'')
+              WHEN doc_id % 7 = 1 THEN
+                coalesce(text,'') || chr(10) || {_sqlq(_C4_JS_LINE)}
+                || chr(10) || {_sqlq(_C4_BRACE_LINE)}
+              WHEN doc_id % 7 = 2 THEN
+                {_sqlq(_C4_LOREM_LINE)} || chr(10) || coalesce(text,'')
+              WHEN doc_id % 7 = 3 THEN
+                coalesce(text,'') || chr(10) || {_sql_lines(_C4_BULLET_LINES)}
+              WHEN doc_id % 7 = 4 THEN
+                coalesce(text,'') || chr(10) || {_sql_lines(_C4_ELLIPSIS_LINES)}
+              WHEN doc_id % 7 = 5 THEN substr(coalesce(text,''), 1, 29)
+              ELSE coalesce(text,'') END AS text
+  FROM documents
+)"""
+
+_SQL_EN_MARKER_LIST = "[" + ", ".join(_sqlq(m) for m in
+                                      textstats.EN_MARKERS) + "]"
+
+SQL_TA_C4_FILTERS = "WITH " + _SQL_C4_PLANT + r""",
+arrs AS (
+  SELECT doc_id,
+         lower(text) AS lt, text,
+         list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS ls,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     w -> length(w) > 0) AS ws,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z]', ' ', 'g'), ' '),
+                     t -> length(t) >= 2) AS toks
+  FROM planted
+),
+kl AS (
+  SELECT doc_id, lt, text, ls, ws, toks,
+         list_filter(ls, x ->
+           right(rtrim(x), 1) IN ('.', '!', '?', '"')
+           AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                               w -> length(w) > 0)) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM arrs
+),
+m AS (
+  SELECT doc_id,
+         len(ls)::BIGINT AS n_lines,
+         len(kept)::BIGINT AS n_kept_lines,
+         coalesce(list_sum(list_transform(ls, x -> length(x)))::BIGINT, 0) AS lchars,
+         coalesce(list_sum(list_transform(kept, x -> length(x)))::BIGINT, 0) AS kchars,
+         coalesce(list_sum(list_transform(kept,
+           x -> len(regexp_extract_all(x, '[.!?]'))))::BIGINT, 0) AS n_sentences,
+         contains(lt, 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace,
+         len(list_filter(ls, x -> starts_with(ltrim(x), '- ')
+             OR starts_with(ltrim(x), '* ')
+             OR starts_with(ltrim(x), '• ')))::BIGINT AS nbullet,
+         len(list_filter(ls, x -> ends_with(rtrim(x), '...')
+             OR ends_with(rtrim(x), '…')))::BIGINT AS nellip,
+         len(ws)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(ws, w -> length(w)))::BIGINT, 0) AS wchars,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS nalpha,
+         len(list_intersect(list_distinct(toks), """ + _SQL_EN_MARKER_LIST + r"""))::BIGINT AS stop_distinct
+  FROM kl
+),
+r AS (
+  SELECT doc_id, n_lines, n_kept_lines,
+         round(CASE WHEN lchars > 0 THEN kchars * 1.0 / lchars ELSE 0.0 END, 4) AS kept_char_frac,
+         n_sentences, has_lorem, has_brace,
+         round(CASE WHEN n_lines > 0 THEN nbullet * 1.0 / n_lines ELSE 0.0 END, 4) AS bullet_line_frac,
+         round(CASE WHEN n_lines > 0 THEN nellip * 1.0 / n_lines ELSE 0.0 END, 4) AS ellipsis_line_frac,
+         n_words,
+         round(CASE WHEN n_words > 0 THEN wchars * 1.0 / n_words ELSE 0.0 END, 4) AS mean_word_len,
+         round(CASE WHEN n_words > 0 THEN nalpha * 1.0 / n_words ELSE 0.0 END, 4) AS alpha_word_frac,
+         stop_distinct
+  FROM m
+)
+SELECT doc_id, n_lines, n_kept_lines, kept_char_frac, n_sentences,
+       has_lorem, has_brace, bullet_line_frac, ellipsis_line_frac,
+       n_words, mean_word_len, alpha_word_frac, stop_distinct,
+       (NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS c4_keep,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND alpha_word_frac > 0.8
+        AND ellipsis_line_frac <= 0.3
+        AND bullet_line_frac <= 0.9
+        AND stop_distinct >= 2) AS gopher_keep
+FROM r"""
+
+
 # paragraph dedup: plant shared boilerplate paragraphs (nav/footer text
 # recurring across many docs) on every 9th doc, in 4 rotating variants
 _PARA_BOILER = "shared boilerplate navigation menu home about contact page footer variant "
@@ -2879,6 +3025,7 @@ QUERIES = {
     "ta_tokencount": (q_ta_tokencount, SQL_TA_TOKENCOUNT),
     "ta_pii": (q_ta_pii, SQL_TA_PII),
     "ta_repetition": (q_ta_repetition, SQL_TA_REPETITION),
+    "ta_c4_filters": (q_ta_c4_filters, SQL_TA_C4_FILTERS),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "ta_fingerprint": (q_ta_fingerprint, SQL_TA_FINGERPRINT),
     "t7_keywords": (q_t7_keywords, SQL_T7),

@@ -330,3 +330,123 @@ def extract_keywords(df: DataFrame, top_n: int = 10, id_col: str = "doc_id",
         .filter(F.col("rank") <= top_n)
         .select(id_col, "rank", "term", "tf")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 / Gopher heuristic filters (Raffel et al. 2020 §2.2; Rae et al. 2021
+# table A1) — the line- and document-level webtext keep/drop rules every
+# public training-data pipeline applies before dedup.
+# ---------------------------------------------------------------------------
+
+TERMINAL_PUNCT = [".", "!", "?", '"']
+BULLET_PREFIXES = ["- ", "* ", "• "]
+
+
+def c4_gopher_filters(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """C4 line filters + Gopher document filters as one map-only pass.
+
+    C4 (Raffel et al. 2020 §2.2): a line is KEPT iff it ends in a
+    terminal punctuation mark, has >= 5 whitespace words, and does not
+    mention "javascript"; the page is dropped outright when it contains
+    "lorem ipsum" or a curly brace, or when the retained lines carry
+    fewer than 3 sentences ([.!?] marks).
+
+    Gopher (Rae et al. 2021 table A1 subset): word count in [50, 100k],
+    mean word length in [3, 10], >80% of words contain an alphabetic
+    character, <=30% of lines end in an ellipsis, <=90% of lines start
+    with a bullet, and at least 2 distinct marker stopwords present.
+
+    Everything is a per-row array/regex expression — no shuffle, no
+    UDF; line membership checks avoid '$' anchors entirely (Java regex
+    '$' matches before a trailing newline, RE2 does not — last-char
+    set membership is engine-exact)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(x) > 0)
+
+    def n_ws_words(col: Column) -> Column:
+        return F.size(F.filter(F.split(col, r"\s+"), lambda w: F.length(w) > 0))
+
+    def last_char(col: Column) -> Column:
+        return F.rtrim(col).substr(F.length(F.rtrim(col)), F.lit(1))
+
+    kept = F.filter(
+        lines,
+        lambda x: last_char(x).isin(*TERMINAL_PUNCT)
+        & (n_ws_words(x) >= 5)
+        & ~F.lower(x).contains("javascript"),
+    )
+    csum = lambda arr: F.coalesce(  # noqa: E731
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+        F.lit(0).cast("long"),
+    )
+    is_bullet = lambda x: F.ltrim(x).startswith(  # noqa: E731
+        BULLET_PREFIXES[0]
+    ) | F.ltrim(x).startswith(BULLET_PREFIXES[1]) | F.ltrim(x).startswith(
+        BULLET_PREFIXES[2]
+    )
+    ends_ellipsis = lambda x: F.rtrim(x).endswith("...") | F.rtrim(  # noqa: E731
+        x
+    ).endswith("…")
+
+    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+    toks = simple_tokens(text)
+
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        csum(lines).alias("_lchars"),
+        csum(kept).alias("_kchars"),
+        F.aggregate(
+            kept, F.lit(0).cast("long"),
+            lambda a, x: a + F.size(F.regexp_extract_all(x, F.lit("[.!?]"), 0)),
+        ).alias("n_sentences"),
+        F.lower(text).contains("lorem ipsum").alias("has_lorem"),
+        text.contains("{").alias("has_brace"),
+        F.size(F.filter(lines, is_bullet)).cast("long").alias("_nbullet"),
+        F.size(F.filter(lines, ends_ellipsis)).cast("long").alias("_nellip"),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("_wchars"),
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .cast("long").alias("_nalpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(m) for m in EN_MARKERS]),
+            )
+        ).cast("long").alias("stop_distinct"),
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num * F.lit(1.0) / den).otherwise(F.lit(0.0)), 4
+    )
+    mean_wlen = frac(F.col("_wchars"), F.col("n_words"))
+    alpha_frac = frac(F.col("_nalpha"), F.col("n_words"))
+    bullet_frac = frac(F.col("_nbullet"), F.col("n_lines"))
+    ellip_frac = frac(F.col("_nellip"), F.col("n_lines"))
+    return base.select(
+        F.col(id_col),
+        "n_lines", "n_kept_lines",
+        frac(F.col("_kchars"), F.col("_lchars")).alias("kept_char_frac"),
+        "n_sentences", "has_lorem", "has_brace",
+        bullet_frac.alias("bullet_line_frac"),
+        ellip_frac.alias("ellipsis_line_frac"),
+        "n_words",
+        mean_wlen.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        "stop_distinct",
+        (
+            ~F.col("has_lorem") & ~F.col("has_brace")
+            & (F.col("n_sentences") >= 3)
+        ).alias("c4_keep"),
+        (
+            (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+            & (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+            & (alpha_frac > 0.8)
+            & (ellip_frac <= 0.3)
+            & (bullet_frac <= 0.9)
+            & (F.col("stop_distinct") >= 2)
+        ).alias("gopher_keep"),
+    )

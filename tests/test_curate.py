@@ -327,3 +327,72 @@ def test_contamination_verdicts(spark):
     for d in (3, 4):
         assert got[d]["max_shared"] == 0 and got[d]["overlap_frac"] == 0.0
         assert got[d]["worst_eval_id"] == -1 and not got[d]["drop_flag"]
+
+
+def test_c4_gopher_filters_hand_computed(spark):
+    """C4/Gopher filter signals against hand-derived values on five
+    crafted pages: a clean keeper, a lorem+brace page, a javascript
+    line (line dropped, page kept), a bullet list, and an ellipsis
+    teaser page."""
+    from document_retrieval_system_spark.operators.textstats import c4_gopher_filters
+
+    clean = ("The quick brown fox jumps over the lazy dog today.\n"
+             "It is a fine day for all of the animals in town.\n"
+             "Every one of them wants to be out in the sun now.\n"
+             "short line.")  # <5 words -> dropped, page still has 3 sentences
+    lorem = "Lorem ipsum dolor sit amet and then some {braces} here."
+    jsdoc = ("A perfectly good first sentence is right here for you.\n"
+             "Please enable javascript to view the comments on this page.\n"
+             "Another good closing sentence of the page sits here too.\n"
+             "And one more full sentence of the usual kind for luck.")
+    bullets = "- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\n- ten"
+    ellipsis = ("The teaser text of the page trails off like this...\n"
+                "Nothing here on this line actually ends with one period!")
+    docs = spark.createDataFrame(
+        [(1, clean), (2, lorem), (3, jsdoc), (4, bullets), (5, ellipsis)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in c4_gopher_filters(docs).collect()}
+
+    r1 = rows[1]
+    assert (r1["n_lines"], r1["n_kept_lines"]) == (4, 3)
+    assert r1["n_sentences"] == 3 and r1["c4_keep"]
+    assert not r1["has_lorem"] and not r1["has_brace"]
+    assert r1["n_words"] == 36  # 10 + 12 + 12 + 2
+    assert not r1["gopher_keep"]  # n_words 36 < 50
+
+    r2 = rows[2]
+    assert r2["has_lorem"] and r2["has_brace"] and not r2["c4_keep"]
+
+    r3 = rows[3]
+    # javascript line dropped; the 3 other lines each end in '.', >=5 words
+    assert (r3["n_lines"], r3["n_kept_lines"]) == (4, 3)
+    assert r3["n_sentences"] == 3 and r3["c4_keep"]
+
+    r4 = rows[4]
+    assert r4["bullet_line_frac"] == 1.0
+    assert r4["n_kept_lines"] == 0 and not r4["c4_keep"] and not r4["gopher_keep"]
+
+    r5 = rows[5]
+    assert r5["ellipsis_line_frac"] == 0.5
+    # '...' line ends in '.', has >=5 words -> kept and contributes 3 marks
+    assert r5["n_sentences"] == 4 and r5["c4_keep"]
+
+
+def test_c4_filters_entry_nonvacuous(spark):
+    """Both keep flags take both values across the planted variants, and
+    every variant group behaves as designed."""
+    from document_retrieval_system_spark.entry_queries import q_ta_c4_filters
+
+    rows = q_ta_c4_filters(spark, "/root/testdata/sf0.01").collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["doc_id"] % 7, []).append(r)
+    assert all(r["c4_keep"] for r in by_grp[0])          # good block
+    assert all(not r["c4_keep"] for r in by_grp[1])      # brace page
+    assert all(r["has_lorem"] and not r["c4_keep"] for r in by_grp[2])
+    assert all(r["bullet_line_frac"] > 0.9 and not r["gopher_keep"]
+               for r in by_grp[3])
+    assert all(r["ellipsis_line_frac"] > 0.3 and not r["gopher_keep"]
+               for r in by_grp[4])
+    assert all(r["n_words"] < 50 and not r["gopher_keep"] for r in by_grp[5])
+    assert any(r["gopher_keep"] for r in by_grp[0])
