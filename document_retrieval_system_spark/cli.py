@@ -35,6 +35,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--pages", help="parquet dir of pages")
     b.add_argument("--files", help="directory of raw .html/.htm/.txt/.pdf/"
                                    ".docx/.xlsx files to ingest (S1-S7)")
+    b.add_argument("--warc", help="directory of .warc[.gz]/.wet[.gz] web "
+                                  "archives to ingest (one archive per task)")
     b.add_argument("--index", required=True, help="index output dir")
     b.add_argument("--shards", default="32",
                    help="shard count, or 'auto' to size from the corpus "
@@ -82,10 +84,17 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 pages = read_pages_from_files(spark, args.files)
+            elif args.warc:
+                from document_retrieval_system_spark.sources.warc import (
+                    warc_pages_df,
+                )
+
+                pages = warc_pages_df(spark, args.warc)
             elif args.pages:
                 pages = spark.read.parquet(args.pages)
             else:
-                ap.error("build requires one of --pages, --files, --synthetic")
+                ap.error("build requires one of --pages, --files, "
+                         "--warc, --synthetic")
             n_shards = None if str(args.shards) == "auto" else int(args.shards)
             build_index(spark, pages, args.index, n_shards=n_shards,
                         wave_size=args.wave_size, resume=args.resume)
