@@ -651,3 +651,68 @@ def ivfpq_topk(spark, index_dir: str, emb: DataFrame, query: list[float],
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_upsert(spark, index_dir: str, new_emb: DataFrame,
+                 cents: np.ndarray, books: np.ndarray,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> dict:
+    """Incremental IVF-PQ maintenance: the `ivf_upsert` contract for
+    the residual-code index (cells AND codebooks frozen between refits,
+    as in FAISS ``IndexIVFPQ.add``).  The batch is cell-assigned and
+    residual-encoded through the same staged boundary as
+    `build_ivfpq_index` (the HOF-recompute guard), a resent ``vec_id``
+    supersedes its stored code even across cells, and only affected
+    cell partitions are rewritten — maintained index == from-scratch
+    rebuild with the same (cents, books), row for row.
+
+    Refit scheduling: codes cannot measure their own drift (the index
+    stores ~4 B/vector, not vectors); run `ivf_refit_needed` against
+    the source embedding table and rebuild with freshly fitted
+    (cents, books) when it trips — same compaction split as the text
+    index."""
+    staged = new_emb.select(
+        F.col(id_col),
+        ivf_assign_col(F.col(vec_col), cents).alias("_cell"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        F.col(id_col),
+        F.concat(F.lit(_BUCKET_TAG), F.col("_cell").cast("string"))
+        .alias("ivf_cell"),
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(_lit_matrix(cents), F.col("_cell") + 1),
+            lambda a, b: a - b,
+        ).alias("_resid"),
+    ).localCheckpoint(eager=True)
+    assigned = staged.select(
+        F.col(id_col), F.col("ivf_cell"),
+        pq_encode_col(F.col("_resid"), books).alias("pq_code"),
+    ).localCheckpoint(eager=True)
+    new_ids = assigned.select(id_col).distinct()
+    existing = spark.read.parquet(index_dir)
+    old_cells = {
+        r["ivf_cell"]
+        for r in existing.join(F.broadcast(new_ids), id_col, "leftsemi")
+        .select("ivf_cell").distinct().collect()
+    }
+    new_cells = {
+        r["ivf_cell"] for r in assigned.select("ivf_cell").distinct().collect()
+    }
+    affected = sorted(old_cells | new_cells)
+    survivors = (
+        existing.filter(F.col("ivf_cell").isin(affected))
+        .join(F.broadcast(new_ids), id_col, "left_anti")
+        .select(id_col, "pq_code", "ivf_cell")
+    )
+    out = survivors.unionByName(
+        assigned.select(id_col, "pq_code", "ivf_cell")
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("ivf_cell").parquet(index_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"batch_rows": assigned.count(), "affected_cells": len(affected),
+            "rewritten_rows": out.count()}

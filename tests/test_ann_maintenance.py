@@ -126,3 +126,53 @@ def test_ivf_refit_trigger(spark, ivf_world, tmp_path):
     similarity.build_ivf_index(merged, rebuilt, cand)
     assert not similarity.ivf_refit_needed(spark, rebuilt, cand,
                                            max_drift_frac=0.0)
+
+
+def test_ivfpq_upsert_equals_rebuild_and_prunes(spark, ivf_world, tmp_path):
+    """IVF-PQ maintenance: after insert+update the code table holds
+    EXACTLY what a from-scratch build over the merged data (same frozen
+    centroids + codebooks) holds; queries keep partition pruning and
+    agree with the rebuilt index."""
+    cents = similarity.ivf_centroids(ivf_world["base"], n_clusters=12,
+                                     iters=10, seed=7)
+    books = similarity.ivfpq_residual_books(ivf_world["base"], cents,
+                                            m=8, ksub=16, iters=8, seed=11)
+    live = str(tmp_path / "ivfpq_live")
+    similarity.build_ivfpq_index(ivf_world["base"], live, cents, books)
+
+    stats = similarity.ivfpq_upsert(spark, live, ivf_world["batch"],
+                                    cents, books)
+    assert stats["batch_rows"] == 65
+    assert 0 < stats["affected_cells"] <= 12
+
+    fresh_dir = str(tmp_path / "ivfpq_fresh")
+    similarity.build_ivfpq_index(ivf_world["full"], fresh_dir, cents, books)
+    got = {(r["vec_id"], r["ivf_cell"], r["pq_code"])
+           for r in spark.read.parquet(live).collect()}
+    want = {(r["vec_id"], r["ivf_cell"], r["pq_code"])
+            for r in spark.read.parquet(fresh_dir).collect()}
+    assert got == want
+    assert len({g[0] for g in got}) == len(got) == 200
+
+    # stale codes are gone: a moved id carries the code of its NEW
+    # vector's residual, in its NEW cell
+    moved = spark.read.parquet(live).filter("vec_id < 5").collect()
+    moved_want = {r["vec_id"]: (r["ivf_cell"], r["pq_code"])
+                  for r in spark.read.parquet(fresh_dir)
+                  .filter("vec_id < 5").collect()}
+    assert {r["vec_id"]: (r["ivf_cell"], r["pq_code"]) for r in moved} \
+        == moved_want
+
+    # query after maintenance: pruning pinned, result == same query on
+    # the rebuilt index
+    q = [float(x) for x in
+         ivf_world["batch"].filter(F.col("vec_id") == 150).head()["embedding"]]
+    res = similarity.ivfpq_topk(spark, live, ivf_world["full"], q,
+                                cents, books, k=10, nprobe=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ivf_cell" in plan.split("PartitionFilters", 1)[1][:500]
+    want_rows = similarity.ivfpq_topk(spark, fresh_dir, ivf_world["full"], q,
+                                      cents, books, k=10, nprobe=3).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in res.collect()] == \
+        [(r["vec_id"], r["cosine"]) for r in want_rows]
