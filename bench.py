@@ -50,7 +50,7 @@ def main() -> None:
         "corpus_sample", "corpus_token_budget", "corpus_decontaminate",
         "corpus_decon_verdicts", "ta_quality_model", "url_dedup",
         "fuzzy_terms", "fuzzy_search", "events_asof", "events_range", "u2_boost_rescore",
-        "e2e_search_pipeline",
+        "e2e_search_pipeline", "e2e_curation_pipeline",
     ]
 
     timings: dict[str, float] = {}

@@ -2866,7 +2866,7 @@ planted AS (
 _SQL_EN_MARKER_LIST = "[" + ", ".join(_sqlq(m) for m in
                                       textstats.EN_MARKERS) + "]"
 
-SQL_TA_C4_FILTERS = "WITH " + _SQL_C4_PLANT + r""",
+_SQL_C4_CTES = _SQL_C4_PLANT + r""",
 arrs AS (
   SELECT doc_id,
          lower(text) AS lt, text,
@@ -2918,7 +2918,9 @@ r AS (
          round(CASE WHEN n_words > 0 THEN nalpha * 1.0 / n_words ELSE 0.0 END, 4) AS alpha_word_frac,
          stop_distinct
   FROM m
-)
+)"""
+
+_SQL_C4_FINAL = r"""
 SELECT doc_id, n_lines, n_kept_lines, kept_char_frac, n_sentences,
        has_lorem, has_brace, bullet_line_frac, ellipsis_line_frac,
        n_words, mean_word_len, alpha_word_frac, stop_distinct,
@@ -2930,6 +2932,55 @@ SELECT doc_id, n_lines, n_kept_lines, kept_char_frac, n_sentences,
         AND bullet_line_frac <= 0.9
         AND stop_distinct >= 2) AS gopher_keep
 FROM r"""
+
+SQL_TA_C4_FILTERS = "WITH " + _SQL_C4_CTES + _SQL_C4_FINAL
+
+
+def q_e2e_curation(spark, sf_dir):
+    """The composed curation funnel as ONE lazy plan — the "which pages
+    enter the training corpus" query: C4/Gopher filter signals over the
+    planted page variants, exact dedup (64-char content-prefix key,
+    min-id canonical) over the C4 survivors, and a per-doc verdict with
+    attribution (``dup_of`` names the canonical that shadowed a
+    duplicate).  Every stage is the already-verified operator; the
+    composition shares one scan of the corpus."""
+    docs = _c4_planted_docs(spark, sf_dir)
+    sig = textstats.c4_gopher_filters(docs).select(
+        "doc_id", "c4_keep", "gopher_keep")
+    d = docs.select("doc_id", "lang", "text").join(sig, "doc_id").withColumn(
+        "k",
+        F.md5(F.substring(F.coalesce(F.col("text"), F.lit("")), 1,
+                          DEDUP_PREFIX_LEN)),
+    )
+    canon = (
+        d.filter("c4_keep").groupBy("k").agg(F.min("doc_id").alias("canon_id"))
+    )
+    return d.join(canon, "k", "left").select(
+        "doc_id", "lang", "c4_keep", "gopher_keep",
+        F.when(
+            F.col("c4_keep") & (F.col("doc_id") != F.col("canon_id")),
+            F.col("canon_id"),
+        ).alias("dup_of"),
+        (F.col("c4_keep") & (F.col("doc_id") == F.col("canon_id")))
+        .alias("survives"),
+    )
+
+
+SQL_E2E_CURATION = (
+    "WITH " + _SQL_C4_CTES + ",\nsig AS (" + _SQL_C4_FINAL + f"""),
+d AS (
+  SELECT s.doc_id, d0.lang, s.c4_keep, s.gopher_keep,
+         md5(substr(coalesce(p.text,''), 1, {DEDUP_PREFIX_LEN})) AS k
+  FROM sig s JOIN planted p ON s.doc_id = p.doc_id
+  JOIN documents d0 ON s.doc_id = d0.doc_id
+),
+canon AS (SELECT k, min(doc_id) AS canon_id FROM d WHERE c4_keep GROUP BY k)
+SELECT d.doc_id, d.lang, d.c4_keep, d.gopher_keep,
+       CASE WHEN d.c4_keep AND d.doc_id <> c.canon_id
+            THEN c.canon_id END AS dup_of,
+       (d.c4_keep AND d.doc_id = c.canon_id) AS survives
+FROM d LEFT JOIN canon c ON d.k = c.k"""
+)
 
 
 # paragraph dedup: plant shared boilerplate paragraphs (nav/footer text
@@ -3026,6 +3077,7 @@ QUERIES = {
     "ta_pii": (q_ta_pii, SQL_TA_PII),
     "ta_repetition": (q_ta_repetition, SQL_TA_REPETITION),
     "ta_c4_filters": (q_ta_c4_filters, SQL_TA_C4_FILTERS),
+    "e2e_curation_pipeline": (q_e2e_curation, SQL_E2E_CURATION),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "ta_fingerprint": (q_ta_fingerprint, SQL_TA_FINGERPRINT),
     "t7_keywords": (q_t7_keywords, SQL_T7),

@@ -396,3 +396,31 @@ def test_c4_filters_entry_nonvacuous(spark):
                for r in by_grp[4])
     assert all(r["n_words"] < 50 and not r["gopher_keep"] for r in by_grp[5])
     assert any(r["gopher_keep"] for r in by_grp[0])
+
+
+def test_e2e_curation_funnel_consistency(spark):
+    """Funnel invariants at sf0.01: survivors pass C4; every duplicate
+    names a surviving canonical with a smaller id and identical 64-char
+    prefix; each stage is non-vacuous."""
+    from document_retrieval_system_spark.entry_queries import (
+        _c4_planted_docs,
+        q_e2e_curation,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_e2e_curation(spark, sf).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    n_c4 = sum(r["c4_keep"] for r in rows)
+    n_surv = sum(r["survives"] for r in rows)
+    n_dup = sum(r["dup_of"] is not None for r in rows)
+    assert 0 < n_surv < n_c4 < len(rows)
+    assert n_dup == n_c4 - n_surv
+    texts = {r["doc_id"]: r["text"]
+             for r in _c4_planted_docs(spark, sf).collect()}
+    for r in rows:
+        if r["survives"]:
+            assert r["c4_keep"] and r["dup_of"] is None
+        if r["dup_of"] is not None:
+            canon = by_id[r["dup_of"]]
+            assert canon["survives"] and r["dup_of"] < r["doc_id"]
+            assert texts[r["doc_id"]][:64] == texts[r["dup_of"]][:64]
