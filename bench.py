@@ -258,8 +258,8 @@ def main() -> None:
     # two-scale run: suite at sf0.1 AND a deterministically synthesized
     # 10x table set, plus 200k-page build and 400k-page clustered WAND).
     # Too long for the per-round driver bench, so the committed artifact
-    # is embedded with provenance (tool, commit) — set
-    # SPARK_GRAFT_BENCH_SF1=1 to re-run it live instead.
+    # is embedded with provenance (tool, commit); re-measure with
+    # `python tools/bench_sf1.py` (it rewrites the artifact this embeds).
     sf1_section = None
     sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tools", "bench_sf1_results.json")

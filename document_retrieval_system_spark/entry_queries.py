@@ -2867,6 +2867,10 @@ _SQL_EN_MARKER_LIST = "[" + ", ".join(_sqlq(m) for m in
                                       textstats.EN_MARKERS) + "]"
 
 _SQL_C4_CTES = _SQL_C4_PLANT + r""",
+norm AS (
+  SELECT doc_id, regexp_replace(text, '\r\n?', chr(10), 'g') AS text
+  FROM planted
+),
 arrs AS (
   SELECT doc_id,
          lower(text) AS lt, text,
@@ -2875,7 +2879,7 @@ arrs AS (
                      w -> length(w) > 0) AS ws,
          list_filter(string_split(regexp_replace(lower(text), '[^a-z]', ' ', 'g'), ' '),
                      t -> length(t) >= 2) AS toks
-  FROM planted
+  FROM norm
 ),
 kl AS (
   SELECT doc_id, lt, text, ls, ws, toks,
@@ -2942,8 +2946,10 @@ def q_e2e_curation(spark, sf_dir):
     planted page variants, exact dedup (64-char content-prefix key,
     min-id canonical) over the C4 survivors, and a per-doc verdict with
     attribution (``dup_of`` names the canonical that shadowed a
-    duplicate).  Every stage is the already-verified operator; the
-    composition shares one scan of the corpus."""
+    duplicate).  Every stage is the already-verified operator composed
+    into one lazy plan; the canonical-pick is a self-aggregation, so
+    the corpus subtree evaluates twice — at 100 TB the filter-signal
+    stage would be checkpointed before the dedup join."""
     docs = _c4_planted_docs(spark, sf_dir)
     sig = textstats.c4_gopher_filters(docs).select(
         "doc_id", "c4_keep", "gopher_keep")

@@ -231,10 +231,13 @@ def contamination_verdicts(train: DataFrame, eval_df: DataFrame,
 
     pairs = decontaminate(train, eval_df, ngram, id_col, text_col,
                           eval_id_col)
+    # NULL text must count as 0 grams (F.size of a NULL array is NULL /
+    # legacy -1, either of which diverges from the SQL twin)
     counts = train.select(
         F.col(id_col).alias("doc_id"),
         F.size(
-            F.array_distinct(word_ngrams(simple_tokens(F.col(text_col)), ngram))
+            F.array_distinct(word_ngrams(
+                simple_tokens(F.coalesce(F.col(text_col), F.lit(""))), ngram))
         ).cast("long").alias("n_grams"),
     )
     # worst eval doc per train doc: max shared count, ties to the

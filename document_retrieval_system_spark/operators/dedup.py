@@ -91,29 +91,38 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def _cap_band_buckets(bands: DataFrame, bucket_cap: int | None,
-                      observation=None) -> DataFrame:
-    """Skew guard: drop (band_id, band_key) buckets larger than bucket_cap.
-
-    One degenerate band key (boilerplate / empty-ish docs) otherwise emits
-    m^2 pairs into a single reducer at corpus scale.  Dropped buckets lose
-    candidate recall only for keys so common they are boilerplate by
-    definition; exact dedup still catches byte-identical members.
+def _cap_buckets(df: DataFrame, part_cols: list[str],
+                 bucket_cap: int | None, observation=None) -> DataFrame:
+    """Shared skew guard: drop ``part_cols`` buckets larger than
+    ``bucket_cap``.  One degenerate bucket key (boilerplate / empty-ish
+    docs, a hot fingerprint or gram) otherwise emits m^2 pairs into a
+    single reducer at corpus scale.  Dropped buckets lose candidate
+    recall only for keys so common they are boilerplate by definition;
+    exact dedup still catches byte-identical members.
 
     NO SILENT CAPS: pass a ``pyspark.sql.Observation`` and the stage
     reports ``cap_dropped_rows`` / ``cap_total_rows`` via JVM-side
     observe metrics — a run whose cap actually bit is visible, not
     silently under-recalled.  The observed stage is then eagerly
     localCheckpoint'ed: the downstream self-join duplicates this
-    subtree, and a duplicated CollectMetrics node reports garbage (0
+    subtree, and a duplicated CollectMetrics node reports garbage (0;
     under AQE's empty-relation propagation it crashes outright), so the
     metrics must be collected by exactly one execution.  Consequently
     ``observation.get`` is ready as soon as this function returns, and
-    one Observation serves one call."""
+    one Observation serves one call.
+
+    An Observation with the cap DISABLED raises: no capped stage would
+    ever attach the metrics node and ``observation.get`` would block
+    forever waiting for it."""
     if bucket_cap is None:
-        return bands
-    w = Window.partitionBy("band_id", "band_key")
-    sized = bands.withColumn("_bsz", F.count("*").over(w))
+        if observation is not None:
+            raise ValueError(
+                "observation requires bucket_cap: with the cap disabled no "
+                "metrics node is attached and observation.get never returns"
+            )
+        return df
+    w = Window.partitionBy(*part_cols)
+    sized = df.withColumn("_bsz", F.count("*").over(w))
     if observation is not None:
         sized = sized.observe(
             observation,
@@ -125,6 +134,13 @@ def _cap_band_buckets(bands: DataFrame, bucket_cap: int | None,
     if observation is not None:
         out = out.localCheckpoint(eager=True)
     return out
+
+
+def _cap_band_buckets(bands: DataFrame, bucket_cap: int | None,
+                      observation=None) -> DataFrame:
+    """LSH band-bucket skew guard — see `_cap_buckets`."""
+    return _cap_buckets(bands, ["band_id", "band_key"], bucket_cap,
+                        observation=observation)
 
 
 def _banded_pairs(bands: DataFrame, bucket_cap: int | None,
@@ -503,23 +519,7 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     sets = winnowed_sets(df, id_col=id_col, text_col=text_col, k=k,
                          window=window).localCheckpoint(eager=True)
     fps = sets.select(F.col(id_col).alias("id"), F.explode("fps").alias("fp"))
-    if bucket_cap is not None:
-        w = Window.partitionBy("fp")
-        fps = fps.withColumn("_n", F.count("*").over(w))
-        if observation is not None:
-            # NO SILENT CAPS: observe metrics report how many (id, fp)
-            # rows the skew cap removed; the eager checkpoint below
-            # executes the metrics node exactly once BEFORE the
-            # self-join duplicates this subtree (see _cap_band_buckets)
-            fps = fps.observe(
-                observation,
-                F.sum(F.when(F.col("_n") > F.lit(bucket_cap), 1).otherwise(0))
-                .cast("long").alias("cap_dropped_rows"),
-                F.count("*").alias("cap_total_rows"),
-            )
-        fps = fps.filter(F.col("_n") <= F.lit(bucket_cap)).drop("_n")
-        if observation is not None:
-            fps = fps.localCheckpoint(eager=True)
+    fps = _cap_buckets(fps, ["fp"], bucket_cap, observation=observation)
     left = fps.alias("l")
     right = fps.alias("r")
     return (
@@ -582,19 +582,7 @@ def exact_overlap_spans(df: DataFrame, id_col: str = "doc_id",
             .otherwise(F.expr("array()").cast("array<int>"))
         ).alias("pos"),
     ).select("id", "pos", F.expr(f"substring(_t, pos, {k})").alias("g"))
-    if bucket_cap is not None:
-        w = Window.partitionBy("g")
-        grams = grams.withColumn("_n", F.count("*").over(w))
-        if observation is not None:
-            grams = grams.observe(
-                observation,
-                F.sum(F.when(F.col("_n") > F.lit(bucket_cap), 1).otherwise(0))
-                .cast("long").alias("cap_dropped_rows"),
-                F.count("*").alias("cap_total_rows"),
-            )
-        grams = grams.filter(F.col("_n") <= F.lit(bucket_cap)).drop("_n")
-        if observation is not None:
-            grams = grams.localCheckpoint(eager=True)
+    grams = _cap_buckets(grams, ["g"], bucket_cap, observation=observation)
     ga = grams.alias("l")
     gb = grams.alias("r")
     m = ga.join(gb, (F.col("l.g") == F.col("r.g"))

@@ -329,7 +329,16 @@ def ivf_upsert(spark, index_dir: str, new_emb: DataFrame, cents: np.ndarray,
     Queries need no coordination: `ivf_topk` works unchanged, partition
     pruning still holds (pinned in tests).  Centroids drift as inserts
     accumulate; `ivf_refit_needed` flags when a refit-and-rebuild (the
-    compaction analog) is due.  Returns counts for observability."""
+    compaction analog) is due.  Returns counts for observability.
+
+    Edge contracts: a ``vec_id`` repeated WITHIN one batch collapses to
+    a single row before assignment (one-row-per-id is the index
+    invariant; replayed identical batches are the real-world case), and
+    an affected old cell left EMPTY (its only rows were resent away and
+    nothing new landed there) is explicitly deleted — dynamic partition
+    overwrite rewrites only partitions that receive output rows, so
+    without the delete the stale row would silently survive."""
+    new_emb = new_emb.dropDuplicates([id_col])
     assigned = new_emb.select(
         F.col(id_col), F.col(vec_col),
         F.concat(F.lit(_BUCKET_TAG),
@@ -357,8 +366,25 @@ def ivf_upsert(spark, index_dir: str, new_emb: DataFrame, cents: np.ndarray,
         out.write.mode("overwrite").partitionBy("ivf_cell").parquet(index_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _delete_emptied_cells(spark, index_dir, affected, out)
     return {"batch_rows": assigned.count(), "affected_cells": len(affected),
             "rewritten_rows": out.count()}
+
+
+def _delete_emptied_cells(spark, index_dir: str, affected: list,
+                          out: DataFrame) -> None:
+    """Dynamic partition overwrite only rewrites partitions present in
+    the output; an affected cell with no output rows keeps its stale
+    files and must be deleted explicitly (same pattern as emptied
+    shards in `tables.delete_documents`)."""
+    import os
+
+    from document_retrieval_system_spark.operators.index_build import fs_delete
+
+    out_cells = {r["ivf_cell"] for r in out.select("ivf_cell").distinct().collect()}
+    for cell in affected:
+        if cell not in out_cells:
+            fs_delete(spark, os.path.join(index_dir, f"ivf_cell={cell}"))
 
 
 def ivf_refit_needed(spark, index_dir: str, cents: np.ndarray,
@@ -670,7 +696,12 @@ def ivfpq_upsert(spark, index_dir: str, new_emb: DataFrame,
     stores ~4 B/vector, not vectors); run `ivf_refit_needed` against
     the source embedding table and rebuild with freshly fitted
     (cents, books) when it trips — same compaction split as the text
-    index."""
+    index.
+
+    Edge contracts as in `ivf_upsert`: within-batch duplicate ids
+    collapse to one row, and affected cells emptied by the upsert are
+    explicitly deleted."""
+    new_emb = new_emb.dropDuplicates([id_col])
     staged = new_emb.select(
         F.col(id_col),
         ivf_assign_col(F.col(vec_col), cents).alias("_cell"),
@@ -714,5 +745,6 @@ def ivfpq_upsert(spark, index_dir: str, new_emb: DataFrame,
         out.write.mode("overwrite").partitionBy("ivf_cell").parquet(index_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _delete_emptied_cells(spark, index_dir, affected, out)
     return {"batch_rows": assigned.count(), "affected_cells": len(affected),
             "rewritten_rows": out.count()}

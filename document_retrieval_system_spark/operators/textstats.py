@@ -360,8 +360,14 @@ def c4_gopher_filters(df: DataFrame, id_col: str = "doc_id",
     Everything is a per-row array/regex expression — no shuffle, no
     UDF; line membership checks avoid '$' anchors entirely (Java regex
     '$' matches before a trailing newline, RE2 does not — last-char
-    set membership is engine-exact)."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
+    set membership is engine-exact).  Line endings are normalized
+    first (CRLF and bare CR both become LF): real webtext — exactly
+    what the WARC/WET source feeds this — is frequently CRLF, and an
+    unstripped '\\r' tail would fail the terminal-punctuation check
+    for every line of such a page."""
+    text = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), "\r\n?", "\n"
+    )
     lines = F.filter(F.split(text, "\n"), lambda x: F.length(x) > 0)
 
     def n_ws_words(col: Column) -> Column:

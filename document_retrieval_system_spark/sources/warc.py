@@ -185,9 +185,13 @@ def pages_from_warc_bytes(data: bytes) -> list[tuple]:
         if not rec.get("url"):
             continue
         if rec["rec_type"] == "response":
-            if rec.get("http_status", 200) != 200:
+            # require a PARSED 200 + html envelope: a response block
+            # whose HTTP envelope never parsed (no header/body
+            # separator) must be skipped, not ingested with the raw
+            # status line + headers as page bytes
+            if rec.get("http_status") != 200:
                 continue
-            if "html" not in rec.get("http_content_type", "text/html"):
+            if "html" not in rec.get("http_content_type", ""):
                 continue
             rows.append((rec["url"], rec.get("date"), rec["payload"], None))
         elif rec["rec_type"] == "conversion":

@@ -176,3 +176,51 @@ def test_ivfpq_upsert_equals_rebuild_and_prunes(spark, ivf_world, tmp_path):
                                       cents, books, k=10, nprobe=3).collect()
     assert [(r["vec_id"], r["cosine"]) for r in res.collect()] == \
         [(r["vec_id"], r["cosine"]) for r in want_rows]
+
+
+def test_upsert_emptied_cell_and_batch_duplicates(spark, tmp_path):
+    """Two review-found edge cases: (1) an affected old cell whose only
+    row is resent away and which receives nothing new must be DELETED
+    (dynamic overwrite alone leaves the stale partition); (2) a vec_id
+    repeated within one batch collapses to one stored row."""
+    import numpy as np
+
+    dim = 8
+    # two tight clusters far apart -> 2 well-separated centroids
+    a = [1.0] + [0.0] * (dim - 1)
+    b = [0.0] * (dim - 1) + [1.0]
+    base = [(1, a), (2, b), (3, [x * 0.9 + 0.01 for x in b])]
+    schema = "vec_id long, embedding array<float>"
+    base_df = spark.createDataFrame(base, schema)
+    cents = similarity.ivf_centroids(base_df, n_clusters=2, iters=5, seed=3)
+
+    for kind in ("ivf", "ivfpq"):
+        live = str(tmp_path / f"{kind}_edge")
+        if kind == "ivf":
+            similarity.build_ivf_index(base_df, live, cents)
+        else:
+            books = similarity.ivfpq_residual_books(base_df, cents, m=4,
+                                                    ksub=2, iters=4, seed=5)
+            similarity.build_ivfpq_index(base_df, live, cents, books)
+        cell_of_1 = spark.read.parquet(live).filter("vec_id = 1") \
+            .head()["ivf_cell"]
+        # batch: vec_id 1 moves to the b-cluster (emptying its old cell),
+        # sent TWICE in the batch; vec_id 9 is fresh
+        batch = spark.createDataFrame(
+            [(1, b), (1, b), (9, [x * 1.1 for x in b])], schema)
+        if kind == "ivf":
+            similarity.ivf_upsert(spark, live, batch, cents)
+        else:
+            similarity.ivfpq_upsert(spark, live, batch, cents, books)
+        rows = spark.read.parquet(live).collect()
+        ids = sorted(r["vec_id"] for r in rows)
+        assert ids == [1, 2, 3, 9], f"{kind}: {ids}"
+        # old cell of vec 1 must be gone or free of vec 1's stale row
+        stale = [r for r in rows
+                 if r["vec_id"] == 1 and r["ivf_cell"] == cell_of_1]
+        assert not stale, f"{kind}: stale row survived in {cell_of_1}"
+        assert len([r for r in rows if r["vec_id"] == 1]) == 1
+        # the emptied partition directory itself is deleted
+        import os
+        assert not os.path.exists(os.path.join(live,
+                                               f"ivf_cell={cell_of_1}")), kind

@@ -424,3 +424,22 @@ def test_e2e_curation_funnel_consistency(spark):
             canon = by_id[r["dup_of"]]
             assert canon["survives"] and r["dup_of"] < r["doc_id"]
             assert texts[r["doc_id"]][:64] == texts[r["dup_of"]][:64]
+
+
+def test_contamination_verdicts_null_text(spark):
+    """NULL training text counts as 0 grams (review finding: F.size of
+    a NULL token array is not 0)."""
+    from document_retrieval_system_spark.operators.curate import (
+        contamination_verdicts,
+    )
+
+    train = spark.createDataFrame(
+        [(1, None), (2, "one two three four five six seven eight")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(9, "one two three four five six seven eight")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["drop_flag"])
+           for r in contamination_verdicts(train, ev, ngram=8).collect()}
+    assert got[1] == (0, False)
+    assert got[2][0] == 1 and got[2][1]

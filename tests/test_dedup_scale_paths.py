@@ -228,3 +228,24 @@ def test_ivf_fitted_index_pruning_and_recall(spark, clustered_emb, tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in got[:9]] == [
         (r["vec_id"], r["cosine"]) for r in exact[:9]
     ]
+
+
+def test_cap_observation_without_cap_raises(spark):
+    """An Observation with the cap disabled would never get a metrics
+    node and observation.get would block forever — fail fast instead
+    (review finding)."""
+    import pytest
+    from pyspark.sql import Observation
+
+    from document_retrieval_system_spark.operators.dedup import (
+        exact_overlap_spans,
+        winnow_overlap_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "abcdefgh" * 20)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bucket_cap"):
+        exact_overlap_spans(df, bucket_cap=None,
+                            observation=Observation("x")).count()
+    with pytest.raises(ValueError, match="bucket_cap"):
+        winnow_overlap_pairs(df, bucket_cap=None,
+                             observation=Observation("y")).count()

@@ -144,3 +144,31 @@ def test_warc_ingestion_end_to_end(spark, tmp_path):
                    for r in hits.collect())
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_malformed_http_envelope_not_ingested():
+    """A response block whose HTTP envelope lacks the header/body
+    separator must be skipped entirely — not ingested with the raw
+    status line + headers as page html (review finding)."""
+    from document_retrieval_system_spark.sources.warc import _record_bytes
+
+    bad_payload = (b"HTTP/1.1 500 Oops\r\nContent-Type: text/html\r\n"
+                   b"<html>no blank line before me</html>")
+    rec = _record_bytes(
+        "response",
+        {"WARC-Target-URI": "http://bad.example/x",
+         "WARC-Date": "2026-03-01T00:00:00Z",
+         "Content-Type": "application/http; msgtype=response"},
+        bad_payload,
+    )
+    parsed = parse_warc(rec)
+    assert len(parsed) == 1 and "http_status" not in parsed[0]
+    assert pages_from_warc_bytes(rec) == []
+    # and a response with no Content-Type header at all is skipped too
+    rec2 = _record_bytes(
+        "response",
+        {"WARC-Target-URI": "http://bad.example/y",
+         "Content-Type": "application/http; msgtype=response"},
+        b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n<html>body</html>",
+    )
+    assert pages_from_warc_bytes(rec2) == []

@@ -129,7 +129,9 @@ def gen_sf1(out_dir: str, mult: int = MULT) -> None:
     ev = pq.read_table(os.path.join(SF01, "events.parquet"))
     n_ev = ev.num_rows * mult
     ts = ev.column("ts").to_pylist()
-    t0, t1 = ts[0], ts[-1]
+    # events.parquet is keyed by event_id, not ordered by ts — take the
+    # true span, not first/last row
+    t0, t1 = min(ts), max(ts)
     n_users = len(set(ev.column("user_id").to_pylist())) * mult
     types = sorted(set(ev.column("event_type").to_pylist()))
     span_us = int((t1 - t0).total_seconds() * 1e6)
@@ -167,11 +169,11 @@ SUITE = [
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "ann_ivfpq_topk",
     "ta_langid", "ta_quality", "ta_quality_model", "ta_fingerprint",
-    "ta_pii", "ta_repetition", "ta_tokencount",
+    "ta_pii", "ta_repetition", "ta_tokencount", "ta_c4_filters",
     "corpus_sample", "corpus_token_budget", "corpus_decontaminate",
     "corpus_decon_verdicts", "url_dedup",
     "fuzzy_terms", "fuzzy_search", "events_asof", "events_range",
-    "u2_boost_rescore", "e2e_search_pipeline",
+    "u2_boost_rescore", "e2e_search_pipeline", "e2e_curation_pipeline",
 ]
 
 
