@@ -2940,6 +2940,28 @@ FROM r"""
 SQL_TA_C4_FILTERS = "WITH " + _SQL_C4_CTES + _SQL_C4_FINAL
 
 
+_BPE_MERGES_MEMO: dict = {}
+
+
+def q_ta_bpe_tokens(spark, sf_dir):
+    """Exact BPE token counts per document (Sennrich '16): merges fitted
+    deterministically on the md5-ranked sample of THIS corpus (memoized
+    per sf_dir), encoding via the Arrow-batched greedy-merge UDF with a
+    per-executor word cache.  rows-only: a greedy iterative tokenizer is
+    not SQL-expressible; the pure-Python twin is pytest-pinned
+    (`tests/test_bpe.py` proves Spark counts == reference encoder)."""
+    from document_retrieval_system_spark.functions.bpe import (
+        bpe_token_counts,
+        fit_bpe_on_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    if sf_dir not in _BPE_MERGES_MEMO:
+        _BPE_MERGES_MEMO[sf_dir] = fit_bpe_on_sample(
+            docs, n_merges=200, sample=256)
+    return bpe_token_counts(docs, _BPE_MERGES_MEMO[sf_dir])
+
+
 def q_e2e_curation(spark, sf_dir):
     """The composed curation funnel as ONE lazy plan — the "which pages
     enter the training corpus" query: C4/Gopher filter signals over the
@@ -3097,6 +3119,7 @@ QUERIES = {
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
     "b8_prefix_search": (q_b8_prefix_search, SQL_B8_PREFIX),
     # Spark-only (rows-only driver check)
+    "ta_bpe_tokens": (q_ta_bpe_tokens, None),
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),
     "mm_features": (q_mm_features, None),
