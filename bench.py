@@ -51,6 +51,8 @@ def main() -> None:
         "corpus_decon_verdicts", "ta_quality_model", "url_dedup",
         "fuzzy_terms", "fuzzy_search", "events_asof", "events_range", "u2_boost_rescore",
         "e2e_search_pipeline", "e2e_curation_pipeline",
+        "mlt_search", "ta_cooccur_pmi", "b8_completions", "ta_lm_perplexity",
+        "corpus_domain_cap",
     ]
 
     timings: dict[str, float] = {}

@@ -3057,6 +3057,195 @@ GROUP BY md5(para)
 HAVING count(DISTINCT doc_id) >= 2"""
 
 
+# ---------------------------------------------------------------------------
+# r5 session-3 operators: MLT / co-occurrence / completion / bigram LM /
+# domain cap
+# ---------------------------------------------------------------------------
+
+MLT_DOC, MLT_M, MLT_K = 7, 8, 20
+COOCCUR_M, COOCCUR_MIN, COOCCUR_K = 16, 3, 50
+COMPLETION_PREFIX, COMPLETION_K = "s", 10
+LM_FIT_N = 16
+DOMAIN_CAP_N, DOMAIN_CAP_SALT = 20, "drs-domain"
+
+
+def q_mlt_search(spark, sf_dir):
+    """More-like-this: document MLT_DOC's top-8 tf x idf terms become
+    the BM25 query (operators/mlt.py); retrieval is the ordinary scorer
+    with the source doc excluded.  The term extraction is a tiny
+    broadcast-bound plan — the corpus side is untouched BM25."""
+    from document_retrieval_system_spark.operators.mlt import doc_top_terms
+
+    docs = _docs(spark, sf_dir)
+    tfs = _tfs_df(docs)
+    stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = (
+        _tok_df(docs).filter(F.size("toks") > 0).agg(F.count("*").alias("n"))
+    )
+    terms = doc_top_terms(tfs, stats, corpus, MLT_DOC, MLT_M)
+    return (
+        _bm25_scores(docs, terms_df=terms)
+        .filter(F.col("doc_id") != MLT_DOC)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(MLT_K)
+    )
+
+
+SQL_MLT = "WITH " + SQL_TFS + f""",
+stats AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+corpus AS (
+  SELECT count(*) AS n, avg(len(toks)) AS avgdl
+  FROM toks WHERE len(toks) > 0
+),
+src AS (
+  SELECT term FROM (
+    SELECT tfs.term,
+           row_number() OVER (
+             ORDER BY tfs.tf * ln((corpus.n - stats.df + 0.5)
+                                  / (stats.df + 0.5) + 1) DESC,
+                      tfs.term
+           ) AS rk
+    FROM tfs JOIN stats USING (term) CROSS JOIN corpus
+    WHERE tfs.doc_id = {MLT_DOC}
+  ) WHERE rk <= {MLT_M}
+),
+bm25 AS (
+  SELECT tfs.doc_id,
+         sum( ln((corpus.n - stats.df + 0.5) / (stats.df + 0.5) + 1)
+              * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * tfs.dl / corpus.avgdl)) ) AS score
+  FROM tfs JOIN src USING (term) JOIN stats USING (term) CROSS JOIN corpus
+  GROUP BY tfs.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM bm25
+WHERE doc_id != {MLT_DOC}
+ORDER BY score DESC, doc_id LIMIT {MLT_K}"""
+
+
+def q_ta_cooccur(spark, sf_dir):
+    """Term-association mining: top-50 capped-document-PMI pairs
+    (operators/cooccur.py) — per-doc top-16-term cap keeps pair volume
+    linear in corpus size."""
+    from document_retrieval_system_spark.operators.cooccur import (
+        term_cooccurrence_pmi,
+    )
+
+    out = term_cooccurrence_pmi(
+        _tfs_df(_docs(spark, sf_dir)).select("doc_id", "term", "tf"),
+        top_m=COOCCUR_M, min_pairs=COOCCUR_MIN, k=COOCCUR_K,
+    )
+    return out.select("term_a", "term_b", "n_ab",
+                      F.round("pmi", 6).alias("pmi"))
+
+
+SQL_TA_COOCCUR = "WITH " + SQL_TFS + f""",
+capped AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk
+    FROM tfs
+  ) WHERE rk <= {COOCCUR_M}
+),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM capped),
+marg AS (SELECT term, count(*) AS c FROM capped GROUP BY term),
+prs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_ab
+  FROM capped a JOIN capped b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= {COOCCUR_MIN}
+)
+SELECT term_a, term_b, n_ab,
+       round(ln(n_ab * nd.n_docs / (ma.c * mb.c)), 6) AS pmi
+FROM prs
+JOIN marg ma ON ma.term = prs.term_a
+JOIN marg mb ON mb.term = prs.term_b
+CROSS JOIN nd
+ORDER BY pmi DESC, term_a, term_b LIMIT {COOCCUR_K}"""
+
+
+def q_b8_completions(spark, sf_dir):
+    """Autocomplete over the REAL index's term-stats sidecar: top-10
+    completions of '{COMPLETION_PREFIX}' by collection frequency
+    (operators/search.prefix_completions) — index metadata only, no
+    postings decode."""
+    from document_retrieval_system_spark.operators.search import (
+        prefix_completions,
+    )
+
+    reader = _ensure_entry_index(spark, sf_dir)
+    return prefix_completions(reader, COMPLETION_PREFIX, COMPLETION_K)
+
+
+SQL_B8_COMPLETIONS = "WITH " + SQL_TFS + f"""
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tfs WHERE term LIKE '{COMPLETION_PREFIX}%'
+GROUP BY term
+ORDER BY cf DESC, term LIMIT {COMPLETION_K}"""
+
+
+_lm_model_cache: dict[str, tuple] = {}
+
+
+def _lm_fitted(sf_dir: str):
+    """DATA-FITTED bigram LM (operators/lm.py): counts from an
+    md5-ranked {LM_FIT_N}-doc sample, cached per sf_dir so the Spark
+    builder and the call-time oracle SQL ship identical tables."""
+    from document_retrieval_system_spark.operators.lm import (
+        fit_bigram_lm,
+        sample_texts,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key not in _lm_model_cache:
+        _lm_model_cache[key] = fit_bigram_lm(sample_texts(sf_dir, LM_FIT_N))
+    return _lm_model_cache[key]
+
+
+def q_ta_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality leg: per-doc bigram NLL under a model
+    fitted on a deterministic sample and shipped as two broadcast count
+    tables — two broadcast joins + one per-doc agg, nothing else."""
+    from document_retrieval_system_spark.operators.lm import score_bigram_lm
+
+    uni, bi, v = _lm_fitted(sf_dir)
+    out = score_bigram_lm(_docs(spark, sf_dir), uni, bi, v)
+    return out.select("doc_id", "n_bigrams", F.round("nll", 6).alias("nll"))
+
+
+def _sql_ta_lm_perplexity() -> str:
+    from document_retrieval_system_spark.operators.lm import score_sql
+
+    uni, bi, v = _lm_fitted(_oracle_sf_dir())
+    inner = "WITH " + SQL_POS + score_sql(uni, bi, v)
+    return (f"SELECT doc_id, n_bigrams, round(nll, 6) AS nll FROM ({inner})")
+
+
+def q_corpus_domain_cap(spark, sf_dir):
+    """Per-domain document cap (operators/curate.domain_cap_sample):
+    at most 20 docs per source domain, md5-ranked — the anti-SEO-farm
+    mixture guard; one window per domain partition."""
+    from document_retrieval_system_spark.operators.curate import (
+        domain_cap_sample,
+    )
+
+    return domain_cap_sample(
+        _docs(spark, sf_dir), DOMAIN_CAP_N, domain_col="source",
+        salt=DOMAIN_CAP_SALT,
+    )
+
+
+SQL_CORPUS_DOMAIN_CAP = f"""
+SELECT doc_id, domain, domain_rank FROM (
+  SELECT doc_id, source AS domain,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR || '{DOMAIN_CAP_SALT}'), doc_id
+         )::BIGINT AS domain_rank
+  FROM documents
+) WHERE domain_rank <= {DOMAIN_CAP_N}"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -3118,6 +3307,11 @@ QUERIES = {
     "events_range": (q_events_range, SQL_EVENTS_RANGE),
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
     "b8_prefix_search": (q_b8_prefix_search, SQL_B8_PREFIX),
+    "b8_completions": (q_b8_completions, SQL_B8_COMPLETIONS),
+    "mlt_search": (q_mlt_search, SQL_MLT),
+    "ta_cooccur_pmi": (q_ta_cooccur, SQL_TA_COOCCUR),
+    "ta_lm_perplexity": (q_ta_lm_perplexity, _sql_ta_lm_perplexity),
+    "corpus_domain_cap": (q_corpus_domain_cap, SQL_CORPUS_DOMAIN_CAP),
     # Spark-only (rows-only driver check)
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),
     "e2e_with_highlights": (q_e2e_with_highlights, None),

@@ -303,3 +303,39 @@ def url_duplicate_groups(df: DataFrame, url_col: str = "url",
         )
         .filter(F.col("n_variants") > 1)
     )
+
+
+def domain_cap_sample(df: DataFrame, max_per_domain: int,
+                      id_col: str = "doc_id",
+                      domain_col: str = "source",
+                      salt: str = "drs-domain") -> DataFrame:
+    """Per-domain document cap: keep at most ``max_per_domain`` documents
+    from each domain, chosen by a deterministic md5 ranking of doc ids —
+    the standard anti-boilerplate / anti-SEO-farm guard in webtext
+    mixtures (a handful of hosts otherwise dominate a Common-Crawl-style
+    corpus).
+
+    Output: (doc_id, domain, domain_rank) for every KEPT document,
+    domain_rank 1-based within its domain.
+
+    Scale: one window ranking per domain partition — a single shuffle on
+    the domain key.  Skewed domains (the very hosts the cap exists for)
+    concentrate rank work on few partitions; at 100 TB the md5 rank key
+    admits a two-stage refinement (per-partition top-N, then global
+    top-N per domain) because a row outside its partition's top-N can
+    never be in the domain's top-N.  The md5 choice (not min(doc_id),
+    not "first seen") makes the kept set a uniform random-but-
+    reproducible sample of the domain, invariant to input order and
+    cluster size."""
+    rk_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return (
+        df.select(F.col(id_col), F.col(domain_col).alias("domain"),
+                  rk_key.alias("_rk"))
+        .withColumn("domain_rank",
+                    F.row_number().over(
+                        Window.partitionBy("domain")
+                        .orderBy(F.col("_rk"), F.col(id_col))
+                    ).cast("long"))
+        .filter(F.col("domain_rank") <= F.lit(max_per_domain))
+        .select(id_col, "domain", "domain_rank")
+    )

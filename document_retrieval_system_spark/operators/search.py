@@ -427,3 +427,26 @@ def prefix_search(reader, prefix: str) -> DataFrame:
         .select("shard", "local_no")
         .distinct()
     )
+
+
+def prefix_completions(reader, prefix: str, k: int = 10) -> DataFrame:
+    """Query autocompletion over the REAL index: the top-``k`` indexed
+    terms starting with ``prefix``, ranked by collection frequency
+    (ties by term ascending) — the suggest-as-you-type surface every
+    search box needs, served from index metadata alone.
+
+    Reads ONLY the term-stats sidecar (one row per vocabulary term, df +
+    cf — orders of magnitude smaller than postings); the StartsWith
+    predicate pushes into the term-sorted parquet scan as a dictionary
+    range (same pushdown shape as `prefix_search`, which pays the
+    full postings decode this operator never touches).  Top-k is a
+    TakeOrderedAndProject — no full sort, no shuffle beyond the k-row
+    reduction."""
+    return (
+        reader.term_stats()
+        .filter(F.col("term").startswith(prefix))
+        .orderBy(F.col("cf").desc(), F.col("term"))
+        .limit(k)
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+    )
