@@ -2062,7 +2062,15 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}"""
 
 
 SPAN_MIN_LEN = 48   # 25 spans at sf0.01 (max 526 chars) — non-vacuous
-SPAN_K = 16         # verify-gram width; min_len >= seed guarantee (23)
+# Gram width: the span output is k-INVARIANT for any k <= min_len (a
+# shared run >= min_len contains matching k-grams at every offset, and
+# runs reconstruct the same maximal span for any k — measured identical
+# 254-row output at sf0.1 for k in {16,24,32,40}), so k is purely a
+# selectivity knob.  40-char grams cut the accidental-match join volume
+# on repetitive text ~2.4x vs 16 (25.1 s -> 10.5 s at sf0.1): longer
+# literal keys are rarer, and the extra shuffle bytes per row are far
+# cheaper than the extra join output rows.
+SPAN_K = 40
 
 
 def q_dedup_spans(spark, sf_dir):
