@@ -3254,6 +3254,70 @@ SELECT doc_id, domain, domain_rank FROM (
 ) WHERE domain_rank <= {DOMAIN_CAP_N}"""
 
 
+PROX_W = 0.5
+
+
+def q_r3_bm25_proximity(spark, sf_dir):
+    """Proximity-boosted BM25 (operators/proximity.py): bare BM25 plus
+    w/(1 + min distinct-query-term gap) — the sequential-dependence-
+    style ranking leg; position work touches only the query terms'
+    postings."""
+    from document_retrieval_system_spark.operators.proximity import (
+        min_pair_gap,
+        proximity_boosted,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = _bm25_scores(docs)
+    gaps = min_pair_gap(_pos_df(docs), BM25_TERMS)
+    out = proximity_boosted(base, gaps, PROX_W)
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"), "min_gap")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_R3_PROXIMITY = "WITH " + SQL_BM25_BASE + f""",
+qpos AS (SELECT doc_id, term, pos FROM pos JOIN q USING (term)),
+gaps AS (
+  SELECT a.doc_id, min(abs(a.pos - b.pos))::BIGINT AS min_gap
+  FROM qpos a JOIN qpos b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.doc_id
+)
+SELECT bm25.doc_id,
+       round(bm25.score
+             + CASE WHEN gaps.min_gap IS NOT NULL
+                    THEN {PROX_W} / (1 + gaps.min_gap) ELSE 0 END,
+             6) AS score,
+       gaps.min_gap
+FROM bm25 LEFT JOIN gaps USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+def q_search_facets(spark, sf_dir):
+    """Faceted result counts: the BM25 match set rolled up per
+    (lang, source) facet — the result-page sidebar every search UI
+    ships; one groupBy over the match set joined to doc metadata."""
+    docs = _docs(spark, sf_dir)
+    base = _bm25_scores(docs)
+    meta = docs.select("doc_id", "lang", "source")
+    return (
+        base.join(meta, "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.round(F.avg("score"), 6).alias("avg_score"))
+    )
+
+
+SQL_SEARCH_FACETS = "WITH " + SQL_BM25_BASE + """
+SELECT d.lang, d.source, count(*)::BIGINT AS n_docs,
+       round(avg(bm25.score), 6) AS avg_score
+FROM bm25 JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -3316,6 +3380,8 @@ QUERIES = {
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
     "b8_prefix_search": (q_b8_prefix_search, SQL_B8_PREFIX),
     "b8_completions": (q_b8_completions, SQL_B8_COMPLETIONS),
+    "r3_bm25_proximity": (q_r3_bm25_proximity, SQL_R3_PROXIMITY),
+    "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
     "mlt_search": (q_mlt_search, SQL_MLT),
     "ta_cooccur_pmi": (q_ta_cooccur, SQL_TA_COOCCUR),
     "ta_lm_perplexity": (q_ta_lm_perplexity, _sql_ta_lm_perplexity),
