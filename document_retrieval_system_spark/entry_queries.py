@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from document_retrieval_system_spark.operators import dedup, fuzzy, similarity, textstats
 from document_retrieval_system_spark.operators.textstats import (
@@ -3318,6 +3318,109 @@ FROM bm25 JOIN documents d USING (doc_id)
 GROUP BY d.lang, d.source"""
 
 
+RRF_K = 60
+PAGE_CURSOR_RANK, PAGE_SIZE = 10, 10
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid-ranking fusion (operators/fusion.py): reciprocal-rank
+    fusion of the BM25 and TF-IDF-cosine top-20 lists — rank-only
+    combination, no score calibration; every join is over k-row
+    lists."""
+    from document_retrieval_system_spark.operators.fusion import (
+        ranked,
+        rrf_fuse,
+    )
+
+    ra = ranked(q_r3_bm25_topk(spark, sf_dir))
+    rb = ranked(q_r1_tfidf_topk(spark, sf_dir))
+    out = rrf_fuse([ra, rb], k_rrf=RRF_K)
+    return out.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"),
+                      "n_lists")
+
+
+SQL_RRF = f"""
+WITH ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM ({SQL_R3})
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM ({SQL_R1})
+),
+parts AS (
+  SELECT doc_id, 1.0::DOUBLE / ({RRF_K} + rank) AS part FROM ra
+  UNION ALL
+  SELECT doc_id, 1.0::DOUBLE / ({RRF_K} + rank) AS part FROM rb
+)
+SELECT doc_id, round(sum(part), 6) AS rrf_score,
+       count(*)::BIGINT AS n_lists
+FROM parts GROUP BY doc_id"""
+
+
+def q_search_page2(spark, sf_dir):
+    """Keyset (search-after) pagination: the BM25 page after the
+    rank-{PAGE_CURSOR_RANK} cursor — the predicate form whose score
+    ceiling a WAND scan can use as its entry threshold, unlike OFFSET
+    (operators/fusion.search_after)."""
+    from document_retrieval_system_spark.operators.fusion import search_after
+
+    base = _bm25_scores(_docs(spark, sf_dir)).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    cursor = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == PAGE_CURSOR_RANK)
+        .select(F.col("score").alias("c_score"), F.col("doc_id").alias("c_id"))
+    )
+    with_cur = base.crossJoin(F.broadcast(cursor))
+    return search_after(
+        with_cur, F.col("c_score"), F.col("c_id"), PAGE_SIZE
+    ).select("doc_id", "score")
+
+
+SQL_SEARCH_PAGE2 = "WITH " + SQL_BM25_BASE + f""",
+scored AS (SELECT doc_id, round(score, 6) AS score FROM bm25),
+cur AS (
+  SELECT score AS c_score, doc_id AS c_id FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn = {PAGE_CURSOR_RANK}
+)
+SELECT doc_id, score FROM scored CROSS JOIN cur
+WHERE score < c_score OR (score = c_score AND doc_id > c_id)
+ORDER BY score DESC, doc_id LIMIT {PAGE_SIZE}"""
+
+
+def q_corpus_report(spark, sf_dir):
+    """Corpus card: per-language doc counts, token totals, and mean
+    heuristic quality — the summary table a curation run publishes
+    with its output mixture."""
+    from document_retrieval_system_spark.operators.textstats import (
+        quality_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs)
+    return (
+        q.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"),
+             F.round(F.avg("quality"), 6).alias("avg_quality"))
+    )
+
+
+SQL_CORPUS_REPORT = f"""
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       sum(q.n_tokens)::BIGINT AS total_tokens,
+       round(avg(q.quality), 6) AS avg_quality
+FROM ({SQL_TA_QUALITY}) q JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -3382,6 +3485,9 @@ QUERIES = {
     "b8_completions": (q_b8_completions, SQL_B8_COMPLETIONS),
     "r3_bm25_proximity": (q_r3_bm25_proximity, SQL_R3_PROXIMITY),
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
+    "rrf_fusion": (q_rrf_fusion, SQL_RRF),
+    "search_page2": (q_search_page2, SQL_SEARCH_PAGE2),
+    "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "mlt_search": (q_mlt_search, SQL_MLT),
     "ta_cooccur_pmi": (q_ta_cooccur, SQL_TA_COOCCUR),
     "ta_lm_perplexity": (q_ta_lm_perplexity, _sql_ta_lm_perplexity),
