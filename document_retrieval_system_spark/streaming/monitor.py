@@ -134,3 +134,42 @@ def sessionize_hosts(pages: DataFrame, gap_minutes: int = 30,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def trending_terms(pages: DataFrame, window: str = "1 minute",
+                   watermark: str = "2 minutes",
+                   min_count: int = 2) -> DataFrame:
+    """Windowed term-frequency trending over the page stream: per
+    event-time window, each token's page-stream count — the live
+    "what is the crawl seeing" feed (query-log trending uses the same
+    plan over a query stream).
+
+    One explode + one windowed count.  The watermark bounds state to
+    the active windows' vocabulary: closed windows emit once (append
+    mode) and their per-term state is dropped, so an unbounded stream
+    holds state only for |active windows| x |window vocabulary| keys.
+    ``min_count`` suppresses the singleton tail — on webtext the term
+    histogram is Zipfian, so the tail dominates row count but never
+    trends.  Top-k per window is a batch-side rank over this output
+    (streaming sinks see the counts; rank is the reader's cheap step),
+    keeping the streaming agg a pure mergeable count.
+
+    Batch DataFrames run the same plan (watermark ignored) — backfill
+    and live trending share one definition."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                                 "[^a-z]", " "), " "),
+        lambda t: F.length(t) >= 2,
+    )
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .select("warc_ts", F.explode(toks).alias("term"))
+        .groupBy(F.window("warc_ts", window).alias("win"), "term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= F.lit(min_count))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "term", "n",
+        )
+    )

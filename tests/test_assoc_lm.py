@@ -158,6 +158,32 @@ def test_score_bigram_lm_hand_computed(spark):
     assert 3 not in out
 
 
+def test_score_bigram_lm_plan_broadcasts_count_tables(spark):
+    """Both fitted count tables must enter as broadcast joins — the LM
+    tables never shuffle the corpus side."""
+    from document_retrieval_system_spark.plans.explain import formatted_plan
+
+    uni, bi, v = fit_bigram_lm(["aa bb aa bb", "aa cc"])
+    docs = spark.createDataFrame([(1, "aa bb cc")], "doc_id long, text string")
+    plan = formatted_plan(score_bigram_lm(docs, uni, bi, v))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cooccur_plan_has_no_nested_loop(spark):
+    from document_retrieval_system_spark.plans.explain import formatted_plan
+
+    tfs = _mini_tfs(spark).select("doc_id", "term", "tf")
+    plan = formatted_plan(term_cooccurrence_pmi(tfs))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the 1-row broadcast cross
+    # that attaches the n_docs scalar — never the doc-pair join
+    import re
+
+    bnlj = re.findall(r"BroadcastNestedLoopJoin \w+", plan)
+    assert all("Cross" in b for b in bnlj) and len(bnlj) <= 1, plan
+
+
 def test_score_bigram_lm_orders_quality(spark):
     # text made of fitted bigrams scores lower NLL than shuffled junk
     fit = ["the data the data the data", "big data big data"]

@@ -144,3 +144,50 @@ def test_sessionize_hosts_stateful_timeouts(spark, tmp_path):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_trending_terms_windowed_counts_and_min_count(spark, tmp_path):
+    from document_retrieval_system_spark.streaming.monitor import (
+        trending_terms,
+    )
+
+    incoming = str(tmp_path / "tin")
+    checkpoint = str(tmp_path / "tckpt")
+    os.makedirs(incoming)
+    t = lambda m, s: datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    build = lambda st: trending_terms(st, "1 minute", "2 minutes", 2)  # noqa: E731
+
+    def page(ts, text):
+        return (f"https://a.com/{ts.second}", ts, b"", text, "en")
+
+    # cycle 1: window 10:00 sees 'data' x3 pages, 'spark' x2, 'rare' x1;
+    # no window can emit yet
+    got1 = _run_cycle(spark, build, incoming, checkpoint, [
+        page(t(0, 5), "data spark"), page(t(0, 15), "data spark"),
+        page(t(0, 25), "data rare"),
+    ], 0)
+    assert got1 == []
+
+    # cycle 2: advancer far ahead -> watermark passes 10:01, the window
+    # emits once; 'rare' (count 1) is suppressed by min_count
+    got2 = _run_cycle(spark, build, incoming, checkpoint, [
+        page(t(10, 0), "later page"),
+    ], 1)
+    emitted = {(r["term"], r["n"]) for r in got2
+               if r["win_start"] == t(0, 0)}
+    assert emitted == {("data", 3), ("spark", 2)}
+
+    # cycle 3: a too-late arrival for the closed window is dropped
+    got3 = _run_cycle(spark, build, incoming, checkpoint, [
+        page(t(0, 45), "data data"),
+    ], 2)
+    assert all(r["win_start"] != t(0, 0) for r in got3)
+
+    # batch equivalence: the same function over a batch frame counts
+    # everything (watermark is a no-op)
+    batch = spark.createDataFrame(
+        [page(t(0, 5), "data spark"), page(t(0, 15), "data spark"),
+         page(t(0, 25), "data rare")], PAGES_DDL)
+    rows = {(r["term"], r["n"]) for r in
+            trending_terms(batch, "1 minute", "2 minutes", 2).collect()}
+    assert rows == {("data", 3), ("spark", 2)}
