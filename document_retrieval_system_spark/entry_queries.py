@@ -3138,12 +3138,10 @@ def q_ta_cooccur(spark, sf_dir):
         term_cooccurrence_pmi,
     )
 
-    out = term_cooccurrence_pmi(
+    return term_cooccurrence_pmi(
         _tfs_df(_docs(spark, sf_dir)).select("doc_id", "term", "tf"),
         top_m=COOCCUR_M, min_pairs=COOCCUR_MIN, k=COOCCUR_K,
     )
-    return out.select("term_a", "term_b", "n_ab",
-                      F.round("pmi", 6).alias("pmi"))
 
 
 SQL_TA_COOCCUR = "WITH " + SQL_TFS + f""",
@@ -3174,7 +3172,7 @@ ORDER BY pmi DESC, term_a, term_b LIMIT {COOCCUR_K}"""
 
 def q_b8_completions(spark, sf_dir):
     """Autocomplete over the REAL index's term-stats sidecar: top-10
-    completions of '{COMPLETION_PREFIX}' by collection frequency
+    completions of the entry prefix by collection frequency
     (operators/search.prefix_completions) — index metadata only, no
     postings decode."""
     from document_retrieval_system_spark.operators.search import (
@@ -3197,7 +3195,7 @@ _lm_model_cache: dict[str, tuple] = {}
 
 def _lm_fitted(sf_dir: str):
     """DATA-FITTED bigram LM (operators/lm.py): counts from an
-    md5-ranked {LM_FIT_N}-doc sample, cached per sf_dir so the Spark
+    md5-ranked LM_FIT_N-doc sample, cached per sf_dir so the Spark
     builder and the call-time oracle SQL ship identical tables."""
     from document_retrieval_system_spark.operators.lm import (
         fit_bigram_lm,
@@ -3360,7 +3358,7 @@ FROM parts GROUP BY doc_id"""
 
 def q_search_page2(spark, sf_dir):
     """Keyset (search-after) pagination: the BM25 page after the
-    rank-{PAGE_CURSOR_RANK} cursor — the predicate form whose score
+    rank-PAGE_CURSOR_RANK cursor — the predicate form whose score
     ceiling a WAND scan can use as its entry threshold, unlike OFFSET
     (operators/fusion.search_after)."""
     from document_retrieval_system_spark.operators.fusion import search_after
@@ -3368,12 +3366,17 @@ def q_search_page2(spark, sf_dir):
     base = _bm25_scores(_docs(spark, sf_dir)).select(
         "doc_id", F.round("score", 6).alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    cursor = (
-        base.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == PAGE_CURSOR_RANK)
-        .select(F.col("score").alias("c_score"), F.col("doc_id").alias("c_id"))
-    )
+    # cursor = the rank-PAGE_CURSOR_RANK row = the LAST row of the
+    # top-PAGE_CURSOR_RANK list in (score desc, doc_id asc) order.
+    # TakeOrderedAndProject + a 10-row agg — NOT a global row_number
+    # window, which would funnel the whole match set through one
+    # partition just to pick one row.
+    top = base.orderBy(F.desc("score"), F.asc("doc_id")).limit(PAGE_CURSOR_RANK)
+    cursor = top.agg(
+        F.min(F.struct(F.col("score"), (-F.col("doc_id")).alias("negid")))
+        .alias("c")
+    ).select(F.col("c.score").alias("c_score"),
+             (-F.col("c.negid")).alias("c_id"))
     with_cur = base.crossJoin(F.broadcast(cursor))
     return search_after(
         with_cur, F.col("c_score"), F.col("c_id"), PAGE_SIZE

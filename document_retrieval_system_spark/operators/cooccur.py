@@ -71,9 +71,14 @@ def term_cooccurrence_pmi(tfs: DataFrame, top_m: int = 16,
                           F.col("c").alias("c_b")), "term_b")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
+            # rank on the ROUNDED pmi: the top-k cut must be engine-
+            # portable, and a raw-double ordering can disagree with an
+            # oracle that orders by the rounded output column at
+            # knife-edge near-ties (repo convention: round before rank)
             "pmi",
-            F.log(F.col("n_ab") * F.col("n_docs")
-                  / (F.col("c_a") * F.col("c_b"))),
+            F.round(
+                F.log(F.col("n_ab") * F.col("n_docs")
+                      / (F.col("c_a") * F.col("c_b"))), 6),
         )
         .orderBy(F.col("pmi").desc(), "term_a", "term_b")
         .limit(k)

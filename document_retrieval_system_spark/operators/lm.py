@@ -84,12 +84,12 @@ def score_bigram_lm(docs: DataFrame, uni: dict[str, int],
     for every document with at least one bigram.  Unseen history words
     fall back to the uniform alpha/(alpha*V) = 1/V mass — every bigram
     gets a finite, engine-portable log-probability."""
-    spark = docs.sparkSession
-    toks = F.filter(
-        F.split(F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                                 "[^a-z]", " "), " "),
-        lambda t: F.length(t) >= 2,
+    from document_retrieval_system_spark.operators.textstats import (
+        simple_tokens,
     )
+
+    spark = docs.sparkSession
+    toks = simple_tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size("_toks")
     big = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
@@ -137,17 +137,26 @@ def score_sql(uni: dict[str, int], bi: dict[tuple[str, str], int],
     """DuckDB twin of `score_bigram_lm`, with the fitted counts inlined
     as VALUES tables (the data-fitted-literals oracle pattern).  Assumes
     a ``pos`` CTE (doc_id, term, pos) is in scope."""
-    uni_rows = ", ".join(f"({_q(w)}, {c})" for w, c in sorted(uni.items()))
-    bi_rows = ", ".join(
-        f"({_q(w1)}, {_q(w2)}, {c})" for (w1, w2), c in sorted(bi.items())
+    # a degenerate fit (no tokens / no bigrams in the sample) must yield
+    # an empty TYPED table, not a syntax error from `VALUES ()`
+    uni_sql = (
+        "(VALUES " + ", ".join(f"({_q(w)}, {c})"
+                               for w, c in sorted(uni.items())) + ")"
+        if uni else "(SELECT ''::VARCHAR AS w1, 0::BIGINT AS uc WHERE FALSE)"
+    )
+    bi_sql = (
+        "(VALUES " + ", ".join(f"({_q(w1)}, {_q(w2)}, {c})"
+                               for (w1, w2), c in sorted(bi.items())) + ")"
+        if bi else ("(SELECT ''::VARCHAR AS w1, ''::VARCHAR AS w2, "
+                    "0::BIGINT AS bc WHERE FALSE)")
     )
     return f""",
 big AS (
   SELECT a.doc_id, a.term AS w1, b.term AS w2
   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 ),
-lm_uni(w1, uc) AS (VALUES {uni_rows}),
-lm_bi(w1, w2, bc) AS (VALUES {bi_rows})
+lm_uni(w1, uc) AS {uni_sql},
+lm_bi(w1, w2, bc) AS {bi_sql}
 SELECT big.doc_id,
        count(*)::BIGINT AS n_bigrams,
        -avg(ln((coalesce(bc, 0) + {alpha}) / (coalesce(uc, 0) + {alpha} * {vocab_size})))

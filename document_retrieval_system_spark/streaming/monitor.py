@@ -156,11 +156,11 @@ def trending_terms(pages: DataFrame, window: str = "1 minute",
 
     Batch DataFrames run the same plan (watermark ignored) — backfill
     and live trending share one definition."""
-    toks = F.filter(
-        F.split(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                                 "[^a-z]", " "), " "),
-        lambda t: F.length(t) >= 2,
+    from document_retrieval_system_spark.operators.textstats import (
+        simple_tokens,
     )
+
+    toks = simple_tokens(F.coalesce(F.col("text"), F.lit("")))
     return (
         pages.withWatermark("warc_ts", watermark)
         .select("warc_ts", F.explode(toks).alias("term"))
