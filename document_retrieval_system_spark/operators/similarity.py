@@ -372,7 +372,7 @@ def ivf_upsert(spark, index_dir: str, new_emb: DataFrame, cents: np.ndarray,
 
 
 def _delete_emptied_cells(spark, index_dir: str, affected: list,
-                          out: DataFrame) -> None:
+                          out: DataFrame, part_col: str = "ivf_cell") -> None:
     """Dynamic partition overwrite only rewrites partitions present in
     the output; an affected cell with no output rows keeps its stale
     files and must be deleted explicitly (same pattern as emptied
@@ -381,10 +381,67 @@ def _delete_emptied_cells(spark, index_dir: str, affected: list,
 
     from document_retrieval_system_spark.operators.index_build import fs_delete
 
-    out_cells = {r["ivf_cell"] for r in out.select("ivf_cell").distinct().collect()}
+    out_cells = {r[part_col] for r in out.select(part_col).distinct().collect()}
     for cell in affected:
         if cell not in out_cells:
-            fs_delete(spark, os.path.join(index_dir, f"ivf_cell={cell}"))
+            fs_delete(spark, os.path.join(index_dir, f"{part_col}={cell}"))
+
+
+def lsh_upsert(spark, index_dir: str, new_emb: DataFrame,
+               sig_bits: int = 16, bucket_bits: int = 8, seed: int = 7,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int | None = None) -> dict:
+    """Incremental maintenance for the LSH-bucketed index — the
+    `ivf_upsert` contract over hash buckets instead of centroid cells.
+
+    LSH needs no refit trigger at all: the signature is a pure function
+    of (vector, seeded hyperplanes), so bucket assignment never drifts —
+    the one structural advantage hash buckets keep over IVF cells under
+    sustained ingest.  Same edge contracts as `ivf_upsert`: within-batch
+    duplicate ids collapse to one row, resent ids supersede across
+    buckets, affected-but-emptied buckets are explicitly deleted, and
+    only affected partitions are rewritten (cost scales with touched
+    buckets, not index size)."""
+    if dim is None:
+        row = new_emb.select(vec_col).head()
+        if row is None:
+            raise ValueError("lsh_upsert: empty batch and no dim given")
+        dim = len(row[0])
+    planes = hyperplanes(dim, sig_bits, seed)
+    new_emb = new_emb.dropDuplicates([id_col])
+    assigned = new_emb.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    ).withColumn(
+        "bucket", F.concat(F.lit(_BUCKET_TAG), F.substring("sig", 1, bucket_bits))
+    ).localCheckpoint(eager=True)
+    new_ids = assigned.select(id_col).distinct()
+    existing = spark.read.parquet(index_dir)
+    old_buckets = {
+        r["bucket"]
+        for r in existing.join(F.broadcast(new_ids), id_col, "leftsemi")
+        .select("bucket").distinct().collect()
+    }
+    new_buckets = {r["bucket"] for r in assigned.select("bucket").distinct().collect()}
+    affected = sorted(old_buckets | new_buckets)
+    survivors = (
+        existing.filter(F.col("bucket").isin(affected))
+        .join(F.broadcast(new_ids), id_col, "left_anti")
+        .select(id_col, vec_col, "sig", "bucket")
+    )
+    out = survivors.unionByName(
+        assigned.select(id_col, vec_col, "sig", "bucket")
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("bucket").parquet(index_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _delete_emptied_cells(spark, index_dir, affected, out, part_col="bucket")
+    return {"batch_rows": assigned.count(),
+            "affected_buckets": len(affected),
+            "rewritten_rows": out.count()}
 
 
 def ivf_refit_needed(spark, index_dir: str, cents: np.ndarray,

@@ -224,3 +224,61 @@ def test_upsert_emptied_cell_and_batch_duplicates(spark, tmp_path):
         import os
         assert not os.path.exists(os.path.join(live,
                                                f"ivf_cell={cell_of_1}")), kind
+
+
+def test_lsh_upsert_equals_rebuild_and_prunes(spark, ivf_world, tmp_path):
+    """Maintained LSH index == from-scratch rebuild row-for-row, and the
+    multi-probe query still partition-prunes after maintenance."""
+    idx = str(tmp_path / "lsh_maint")
+    dim = ivf_world["dim"]
+    kw = dict(sig_bits=12, bucket_bits=6, seed=7, dim=dim)
+    similarity.build_lsh_index(ivf_world["base"], idx, **kw)
+    res = similarity.lsh_upsert(spark, idx, ivf_world["batch"], **kw)
+    assert res["batch_rows"] == 65 and res["rewritten_rows"] >= 65
+
+    fresh_idx = str(tmp_path / "lsh_fresh")
+    similarity.build_lsh_index(ivf_world["full"], fresh_idx, **kw)
+    got = {(r["vec_id"], r["bucket"], r["sig"]) for r in
+           spark.read.parquet(idx).collect()}
+    want = {(r["vec_id"], r["bucket"], r["sig"]) for r in
+            spark.read.parquet(fresh_idx).collect()}
+    assert got == want
+
+    # query correctness + pruning survive maintenance
+    q = ivf_world["full"].filter(F.col("vec_id") == 150).head()["embedding"]
+    top = similarity.lsh_index_topk(
+        spark, idx, [float(x) for x in q], k=5,
+        sig_bits=12, bucket_bits=6, hamming_probe=3, seed=7)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert ids[0] == 150
+    from document_retrieval_system_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(
+        spark.read.parquet(idx).filter(F.col("bucket").isin(["b000000"])))
+    assert "PartitionFilters" in plan
+
+
+def test_lsh_upsert_emptied_bucket_and_batch_duplicates(spark, tmp_path):
+    """A bucket emptied by the upsert must not keep its stale row, and a
+    vec_id duplicated WITHIN the batch writes exactly one row."""
+    dim = 4
+    idx = str(tmp_path / "lsh_edge")
+    # two near-orthogonal vectors land in different buckets
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    base = spark.createDataFrame([(1, a)], "vec_id long, embedding array<float>")
+    similarity.build_lsh_index(base, idx, sig_bits=8, bucket_bits=4,
+                               seed=7, dim=dim)
+    old_bucket = spark.read.parquet(idx).head()["bucket"]
+    # resend id 1 with vector b (moves bucket), duplicated in-batch
+    batch = spark.createDataFrame(
+        [(1, b), (1, b)], "vec_id long, embedding array<float>")
+    similarity.lsh_upsert(spark, idx, batch, sig_bits=8, bucket_bits=4,
+                          seed=7, dim=dim)
+    rows = spark.read.parquet(idx).collect()
+    assert len(rows) == 1 and rows[0]["vec_id"] == 1
+    new_bucket = rows[0]["bucket"]
+    if new_bucket != old_bucket:
+        import os
+
+        assert not os.path.exists(os.path.join(idx, f"bucket={old_bucket}"))
