@@ -174,6 +174,9 @@ SUITE = [
     "corpus_decon_verdicts", "url_dedup",
     "fuzzy_terms", "fuzzy_search", "events_asof", "events_range",
     "u2_boost_rescore", "e2e_search_pipeline", "e2e_curation_pipeline",
+    "mlt_search", "ta_cooccur_pmi", "b8_completions", "ta_lm_perplexity",
+    "corpus_domain_cap", "r3_bm25_proximity", "search_facets",
+    "rrf_fusion", "search_page2", "corpus_report",
 ]
 
 
