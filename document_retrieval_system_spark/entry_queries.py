@@ -1643,6 +1643,70 @@ FROM errors e JOIN clicks c
  AND c.v >= e.s AND c.v < e.s + {_RANGE_WIN_US}"""
 
 
+_SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h — binding: 6940 sessions / 10k events at sf0.01
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event log (operators/
+    sessions.py): a user's events split into sessions at >4 h gaps;
+    one row per session with exact LONG micros bounds.  One user-keyed
+    exchange serves both the numbering windows and the session
+    aggregate (plan-pinned in tests)."""
+    from document_retrieval_system_spark.operators.sessions import sessionize
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", _ntz_micros("ts").alias("us"))
+    return sessionize(ev, gap_us=_SESSION_GAP_US)
+
+
+SQL_EVENTS_SESSIONS = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+    CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > {_SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, us,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no::BIGINT AS session_no,
+       count(*)::BIGINT AS n_events,
+       min(us)::BIGINT AS start_us, max(us)::BIGINT AS end_us,
+       (max(us) - min(us))::BIGINT AS duration_us
+FROM sess GROUP BY user_id, session_no"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """Multi-granularity rollup of the event log (operators/
+    sessions.py): (event_type, day) / (event_type,) / grand-total
+    counts, exact distinct users, and exact integer-cents value sums,
+    all from ONE grouping-sets pass (a single Expand + hash aggregate
+    — one shuffle for all three granularities)."""
+    from document_retrieval_system_spark.operators.sessions import event_rollup
+
+    return event_rollup(_events(spark, sf_dir))
+
+
+SQL_EVENTS_ROLLUP = """
+WITH base AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, day, GROUPING(event_type, day)::BIGINT AS gid,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(cents)::BIGINT AS sum_cents
+FROM base GROUP BY ROLLUP (event_type, day)"""
+
+
 def q_fuzzy_terms(spark, sf_dir):
     """Typo-tolerant term lookup: every distinct corpus term within
     Levenshtein distance 1 of each query term, via the position-tagged
@@ -3483,6 +3547,8 @@ QUERIES = {
     "fuzzy_terms": (q_fuzzy_terms, SQL_FUZZY_TERMS),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "events_range": (q_events_range, SQL_EVENTS_RANGE),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONS),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
     "b8_prefix_search": (q_b8_prefix_search, SQL_B8_PREFIX),
     "b8_completions": (q_b8_completions, SQL_B8_COMPLETIONS),

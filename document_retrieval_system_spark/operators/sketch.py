@@ -1,0 +1,81 @@
+"""KMV (K-minimum-values) distinct-count sketch.
+
+The exact-distinct slots in this engine (`event_rollup.n_users`,
+I3/I4 vocabulary stats) pay a full shuffle of every distinct key.  At
+100 TB the standard replacement is a bottom-k sketch: keep the K
+smallest values of a uniform hash per group; if the group holds fewer
+than K distinct values the sketch IS the exact answer, otherwise the
+K-th smallest order statistic estimates the distinct count as
+
+    estimate = (K - 1) * H / h_(K)
+
+for hashes uniform on [0, H) (Bar-Yossef et al. 2002, the KMV/bottom-k
+estimator; the Beyer et al. 2007 unbiased form).  Everything here is
+DETERMINISTIC — the hash is a truncated md5, not a seeded RNG — so the
+same input yields the same sketch on any engine, any cluster size, any
+partitioning: the estimate itself is oracle-hashable, which is the
+repo's bar for a first-class operator.
+
+The sketch is mergeable (union of bottom-k sets, re-truncated to k),
+which is what makes it the 100 TB shape: partial per-partition sketches
+combine associatively, so a map-side combine collapses each partition
+to ≤K rows per group before the shuffle.  This implementation keeps the
+relational form (dedupe → per-group bottom-k via one window) — the
+rows that cross the shuffle are (group, hash48) pairs, 16 B each, and
+the arithmetic stays in exact LONGs end-to-end (no float division:
+the estimate is an integer floor-div, so it hashes bit-identically).
+
+Hash parity with DuckDB (proven pattern, see operators/dedup.py):
+Spark ``conv(substring(md5(x), 1, 12), 16, 10).cast('long')`` ==
+DuckDB ``('0x' || substr(md5(x), 1, 12))::BIGINT`` — 48 uniform bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = 1 << 48
+
+
+def _hash48(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
+                 k: int = 64) -> DataFrame:
+    """Per-group KMV distinct estimate: (group, n_kept, kmv_distinct).
+
+    ``n_kept`` is the sketch fill (< k ⇒ the group had fewer than k
+    distinct values and the estimate is exact by construction).  The
+    estimate is an exact integer: ``(k-1) * 2^48 DIV h_k`` — LONG-safe
+    for k ≤ 32767.
+    """
+    if not 2 <= k <= 32767:
+        raise ValueError(f"k must be in [2, 32767], got {k}")
+    hashed = (
+        df.select(F.col(group_col), _hash48(F.col(value_col)).alias("h"))
+        .groupBy(group_col, "h")
+        .agg(F.lit(1))  # dedupe distinct (group, hash) pairs
+        .select(group_col, "h")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    bottom = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return (
+        bottom.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.max("h").alias("_hk"),
+        )
+        .withColumn(
+            "kmv_distinct",
+            F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+                F.expr(f"({k} - 1) * {HASH_SPACE}L div _hk")
+            ),
+        )
+        .select(group_col, "n_kept", "kmv_distinct")
+    )

@@ -44,8 +44,12 @@ def _norm(v):
 
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort key stringifies cells so NULLs are orderable (the driver's
+    # hash does the same: every cell becomes a string before sorting);
+    # the compared values keep their types
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple("\x00NULL" if v is None else str(v) for v in t),
     ), [cols[i] for i in order]
 
 

@@ -1,0 +1,118 @@
+"""Batch sessionization + event rollup (operators/sessions.py):
+brute-force equivalence on random event logs, exact boundary
+semantics, and the one-Exchange plan guarantee."""
+
+from __future__ import annotations
+
+import random
+import re
+
+
+def _brute_sessions(events, gap_us):
+    """(user, us, event_id) rows -> {(user, session_no, n, start, end)}."""
+    by_user = {}
+    for (u, us, eid) in events:
+        by_user.setdefault(u, []).append((us, eid))
+    out = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        sno, n, start = 0, 0, None
+        prev = None
+        sessions = []
+        for (us, _eid) in evs:
+            if prev is None or us - prev > gap_us:
+                if n:
+                    sessions.append((sno, n, start, prev))
+                sno, n, start = sno + 1, 0, us
+            n += 1
+            prev = us
+        sessions.append((sno, n, start, prev))
+        for (s, n, a, b) in sessions:
+            out.add((u, s, n, a, b, b - a))
+    return out
+
+
+def test_sessionize_bruteforce(spark):
+    from document_retrieval_system_spark.operators.sessions import sessionize
+
+    rng = random.Random(11)
+    rows = []
+    t = 0
+    for eid in range(400):
+        t += rng.randint(0, 200)
+        rows.append((rng.randint(0, 7), t, eid))
+    df = spark.createDataFrame(rows, "user_id long, us long, event_id long")
+    got = {tuple(r) for r in sessionize(df, gap_us=60).collect()}
+    assert got == _brute_sessions(rows, 60)
+
+
+def test_sessionize_boundary_and_ties(spark):
+    """A gap of exactly gap_us does NOT split (strict >); simultaneous
+    events (same us) never split regardless of id order."""
+    from document_retrieval_system_spark.operators.sessions import sessionize
+
+    rows = [
+        (1, 0, 0), (1, 100, 1),            # exactly gap -> same session
+        (1, 201, 2),                        # gap 101 > 100 -> new session
+        (2, 50, 4), (2, 50, 3), (2, 50, 5)  # ties: one session of 3
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, event_id long")
+    got = {(r["user_id"], r["session_no"], r["n_events"]) for r in
+           sessionize(df, gap_us=100).collect()}
+    assert got == {(1, 1, 2), (1, 2, 1), (2, 1, 3)}
+
+
+def test_sessionize_single_exchange(spark):
+    """The user-key window and the (user, session_no) aggregate share
+    one hash partitioning: exactly ONE Exchange in the whole plan."""
+    from document_retrieval_system_spark.operators.sessions import sessionize
+    from document_retrieval_system_spark.plans.explain import formatted_plan
+
+    df = spark.createDataFrame(
+        [(1, 10, 1)], "user_id long, us long, event_id long")
+    plan = formatted_plan(sessionize(df, gap_us=60))
+    # formatted_plan lists each node twice (tree + details): count the
+    # details form '(N) Exchange' only.
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_event_rollup_exact(spark):
+    from document_retrieval_system_spark.operators.sessions import event_rollup
+
+    rows = [
+        (0, "2024-01-01 00:00:00.000001", 1, "click", 1.25),
+        (1, "2024-01-01 23:59:59.999999", 2, "click", 2.50),
+        (2, "2024-01-02 00:00:00.000000", 1, "click", 0.10),
+        (3, "2024-01-01 12:00:00.500000", 1, "view", 7.07),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "cast(ts as timestamp_ntz) ts", "user_id",
+                 "event_type", "value")
+    got = {tuple(r) for r in event_rollup(df).collect()}
+    assert got == {
+        ("click", "2024-01-01", 0, 2, 2, 375),
+        ("click", "2024-01-02", 0, 1, 1, 10),
+        ("view", "2024-01-01", 0, 1, 1, 707),
+        ("click", None, 1, 3, 2, 385),
+        ("view", None, 1, 1, 1, 707),
+        (None, None, 3, 4, 2, 1092),
+    }
+
+
+def test_event_rollup_one_shuffle(spark):
+    """All three granularities come from ONE grouping-sets pass: a
+    single Expand node and no more Exchanges than a plain aggregate
+    (partial + final around one shuffle; countDistinct adds its own
+    expand-free second aggregate but no extra scan)."""
+    from document_retrieval_system_spark.operators.sessions import event_rollup
+    from document_retrieval_system_spark.plans.explain import formatted_plan
+
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", 1, "click", 1.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "cast(ts as timestamp_ntz) ts", "user_id",
+                 "event_type", "value")
+    plan = formatted_plan(event_rollup(df))
+    assert len(re.findall(r"\(\d+\) Expand\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan\b", plan)) <= 1
