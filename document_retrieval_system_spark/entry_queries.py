@@ -1707,6 +1707,437 @@ SELECT event_type, day, GROUPING(event_type, day)::BIGINT AS gid,
 FROM base GROUP BY ROLLUP (event_type, day)"""
 
 
+_RESAMPLE_US = 3600 * 1_000_000  # hourly buckets
+
+
+def q_events_resample(spark, sf_dir):
+    """Hourly resample of the event log with gap filling (operators/
+    sessions.py::resample_counts): per (event_type, epoch-hour) counts
+    including explicit zero rows for empty hours — the dense axis a
+    rate monitor needs.  Exact LONG bucket arithmetic end-to-end."""
+    from document_retrieval_system_spark.operators.sessions import (
+        resample_counts,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", _ntz_micros("ts").alias("us"))
+    return resample_counts(ev, bucket_us=_RESAMPLE_US)
+
+
+SQL_EVENTS_RESAMPLE = f"""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // {_RESAMPLE_US} AS bucket,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, bucket
+),
+bounds AS (
+  SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+  FROM c GROUP BY event_type
+),
+axis AS (
+  SELECT event_type, unnest(generate_series(mn, mx)) AS bucket FROM bounds
+)
+SELECT a.event_type, a.bucket::BIGINT AS bucket,
+       coalesce(c.n, 0)::BIGINT AS n_events
+FROM axis a LEFT JOIN c ON a.event_type = c.event_type AND a.bucket = c.bucket"""
+
+
+def q_ta_zipf(spark, sf_dir):
+    """Zipf rank-frequency fit (operators/textstats.py::zipf_fit) over
+    the corpus vocabulary: ln(cf) vs ln(rank) least squares — the
+    one-number corpus-quality / posting-skew diagnostic (natural text
+    ~ -1; this synthetic token soup is flatter, which is exactly what
+    the diagnostic is for)."""
+    from document_retrieval_system_spark.operators.textstats import zipf_fit
+
+    docs = _docs(spark, sf_dir)
+    cf = (
+        docs.select(
+            F.explode(
+                textstats.simple_tokens(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+    return zipf_fit(cf)
+
+
+SQL_TA_ZIPF = "WITH " + SQL_TOKS + """,
+cf AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest(toks) AS term FROM toks) GROUP BY term
+),
+xy AS (
+  SELECT ln((row_number() OVER (ORDER BY cf DESC, term))::DOUBLE) AS x,
+         ln(cf::DOUBLE) AS y
+  FROM cf
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy
+)
+SELECT n::BIGINT AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s"""
+
+
+_FUNNEL_GAP_US = 24 * 3600 * 1_000_000
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel(spark, sf_dir):
+    """Strict sequential funnel (operators/sessions.py::funnel_counts):
+    of the 24 h-gap sessions, how many contain a view, a click after
+    that view, and a purchase after that click — evaluated as chained
+    per-session min-aggregations on one user-keyed clustering (no
+    events x events self-join).  Binding at sf0.01: 816 -> 498 -> 288
+    of 1214 sessions."""
+    from document_retrieval_system_spark.operators.sessions import (
+        funnel_counts,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", _ntz_micros("ts").alias("us"))
+    return funnel_counts(ev, _FUNNEL_STEPS, gap_us=_FUNNEL_GAP_US)
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > {_FUNNEL_GAP_US}
+            THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+lab AS (
+  SELECT user_id, event_type, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+),
+s0 AS (
+  SELECT user_id, session_no, min(us) AS t0 FROM lab
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id, session_no
+),
+s1 AS (
+  SELECT l.user_id, l.session_no, min(l.us) AS t1
+  FROM lab l JOIN s0 USING (user_id, session_no)
+  WHERE l.event_type = '{_FUNNEL_STEPS[1]}' AND l.us > s0.t0
+  GROUP BY l.user_id, l.session_no
+),
+s2 AS (
+  SELECT l.user_id, l.session_no, min(l.us) AS t2
+  FROM lab l JOIN s1 USING (user_id, session_no)
+  WHERE l.event_type = '{_FUNNEL_STEPS[2]}' AND l.us > s1.t1
+  GROUP BY l.user_id, l.session_no
+),
+c AS (
+  SELECT 1::BIGINT AS step, '{_FUNNEL_STEPS[0]}' AS event_type,
+         count(*)::BIGINT AS n_sessions FROM s0
+  UNION ALL
+  SELECT 2::BIGINT, '{_FUNNEL_STEPS[1]}', count(*)::BIGINT FROM s1
+  UNION ALL
+  SELECT 3::BIGINT, '{_FUNNEL_STEPS[2]}', count(*)::BIGINT FROM s2
+)
+SELECT step, event_type, n_sessions,
+       round(n_sessions::DOUBLE
+             / (SELECT n_sessions FROM c WHERE step = 1), 6) AS frac
+FROM c"""
+
+
+_QUANTILE_QS = (0.5, 0.9, 0.95, 0.99)
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact per-type value quantiles (operators/sessions.py::
+    group_quantiles) by the nearest-rank definition — a data member,
+    no interpolation, so the doubles hash engine-exact (what
+    percentile_approx can never give you)."""
+    from document_retrieval_system_spark.operators.sessions import (
+        group_quantiles,
+    )
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return group_quantiles(ev, "event_type", "value", qs=_QUANTILE_QS)
+
+
+SQL_EVENTS_QUANTILES = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+q(q) AS (VALUES {", ".join(f"({x}::DOUBLE)" for x in _QUANTILE_QS)})
+SELECT event_type, q, value FROM ranked CROSS JOIN q
+WHERE rn = ceil(q * n)"""
+
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 8
+
+
+def _link_edges(docs, n: int):
+    """Deterministic synthetic link graph over doc_ids 0..n-1: doc d
+    emits d%5 out-links (so 20% of docs are DANGLING — exercising mass
+    redistribution) to ((d*17 + j*j + 7) mod n), self-loops removed.
+    Pure arithmetic on doc_id — both engines derive the identical edge
+    set from the documents table alone."""
+    return (
+        docs.select(F.col("node").alias("src"),
+                    F.explode(F.expr("array(1, 2, 3, 4)")).alias("j"))
+        .filter(F.col("src") % 5 >= F.col("j"))
+        .select(
+            "src",
+            ((F.col("src") * 17 + F.col("j") * F.col("j") + 7) % n)
+            .alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank (operators/linkgraph.py) over the deterministic link
+    graph: 8 damped power iterations with dangling-mass redistribution;
+    the oracle is the same recurrence unrolled into 8 chained DuckDB
+    CTEs — constants bit-matched via repr round-trip, final vector
+    rounded to 6."""
+    from document_retrieval_system_spark.operators.linkgraph import pagerank
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    n = docs.count()
+    pr = pagerank(_link_edges(docs, n), docs,
+                  damping=_PR_DAMPING, iters=_PR_ITERS)
+    return pr.select(F.col("node").alias("doc_id"),
+                     F.round("pr", 6).alias("pr"))
+
+
+def _sql_graph_pagerank() -> str:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        os.path.join(_oracle_sf_dir(), "documents.parquet")
+    ).metadata.num_rows
+    tele = repr((1.0 - _PR_DAMPING) / n)
+    init = repr(1.0 / n)
+    damp = repr(_PR_DAMPING)
+    parts = [f"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT DISTINCT src, (src * 17 + j * j + 7) % {n} AS dst FROM (
+    SELECT doc_id AS src, unnest([1, 2, 3, 4]) AS j FROM documents
+  ) WHERE src % 5 >= j AND src <> (src * 17 + j * j + 7) % {n}
+),
+outdeg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, {init}::DOUBLE AS pr FROM nodes)"""]
+    for t in range(_PR_ITERS):
+        parts.append(f""",
+dm{t} AS (
+  SELECT coalesce(sum(r.pr), 0::DOUBLE) AS m
+  FROM r{t} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+),
+c{t} AS (
+  SELECT e.dst AS node, sum(r.pr / o.deg) AS s
+  FROM edges e JOIN r{t} r ON e.src = r.node
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{t + 1} AS (
+  SELECT nd.node,
+         ({tele}::DOUBLE + {damp}::DOUBLE
+          * (coalesce(c.s, 0::DOUBLE) + dm.m / {n})) AS pr
+  FROM nodes nd CROSS JOIN dm{t} dm
+  LEFT JOIN c{t} c ON nd.node = c.node
+)""")
+    parts.append(
+        f"\nSELECT node AS doc_id, round(pr, 6) AS pr FROM r{_PR_ITERS}")
+    return "".join(parts)
+
+
+EVAL_QUERY_TERMS = [
+    ["data", "join"],
+    ["table", "scan", "fast"],
+    ["hash", "merge"],
+    ["window", "sort", "line"],
+    ["spark", "value", "batch"],
+    ["key", "part"],
+    ["slow", "filter", "row"],
+    ["query", "stream", "vector"],
+]
+EVAL_K = 10
+
+
+def q_search_eval(spark, sf_dir):
+    """Ranking-quality evaluation (operators/evaluate.py): nDCG@10 /
+    MRR / precision / recall of the engine's batched WAND BM25 over 8
+    queries, judged by graded synthetic qrels (rel = number of distinct
+    query terms with tf >= 4 in the document — frequency-graded so the
+    judgments DISAGREE with pure BM25 order and the metrics land
+    strictly inside (0, 1); computable identically in both engines, so
+    the metric values themselves hash).  Ranks use the 6-rounded score
+    with doc_id tie-break: stable to last-ulp float drift between
+    engines."""
+    from document_retrieval_system_spark.operators.evaluate import (
+        ranking_metrics,
+    )
+    from document_retrieval_system_spark.operators.wand import (
+        bm25_wand_search_many,
+    )
+
+    reader = _ensure_entry_index(spark, sf_dir)
+    ranked = bm25_wand_search_many(
+        reader, [" ".join(t) for t in EVAL_QUERY_TERMS], "en", 10**6, 0.0,
+        analyzer=simple_process_text,
+    ).select(
+        "qid",
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in enumerate(EVAL_QUERY_TERMS)
+         for t in terms],
+        "qid long, term string",
+    )
+    tf = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                textstats.simple_tokens(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qrels = (
+        tf.filter(F.col("tf") >= 4)
+        .join(q, "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("rel"))
+    )
+    return ranking_metrics(ranked, qrels, k=EVAL_K)
+
+
+_EVAL_Q_UNION = " UNION ALL ".join(
+    f"SELECT {qid} AS qid, unnest({terms!r}) AS term"
+    for qid, terms in enumerate(EVAL_QUERY_TERMS)
+)
+
+SQL_SEARCH_EVAL = "WITH " + SQL_TFS + f""",
+stats AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+corpus AS (
+  SELECT count(*) AS n, avg(len(toks)) AS avgdl
+  FROM toks WHERE len(toks) > 0
+),
+q AS ({_EVAL_Q_UNION}),
+scores AS (
+  SELECT q.qid, tfs.doc_id,
+         round(sum( ln((corpus.n - stats.df + 0.5) / (stats.df + 0.5) + 1)
+               * tfs.tf / (tfs.tf + {K1} * (1 - {B} + {B} * tfs.dl / corpus.avgdl)) ), 6)
+           AS score
+  FROM tfs JOIN q USING (term) JOIN stats USING (term) CROSS JOIN corpus
+  GROUP BY q.qid, tfs.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scores QUALIFY rnk <= {EVAL_K}
+),
+qrels AS (
+  SELECT q.qid, tfs.doc_id, count(DISTINCT tfs.term)::BIGINT AS rel
+  FROM tfs JOIN q USING (term)
+  WHERE tfs.tf >= 4
+  GROUP BY q.qid, tfs.doc_id
+),
+judged AS (
+  SELECT r.qid, r.rnk, coalesce(qr.rel, 0) AS rel
+  FROM ranked r LEFT JOIN qrels qr
+    ON r.qid = qr.qid AND r.doc_id = qr.doc_id
+),
+got AS (
+  SELECT qid,
+         sum((pow(2, rel) - 1) / log2(rnk + 1)) AS dcg,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+         max(CASE WHEN rel > 0 THEN 1::DOUBLE / rnk END) AS mrr
+  FROM judged GROUP BY qid
+),
+ideal AS (
+  SELECT qid, rel,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rel DESC, doc_id) AS ir
+  FROM qrels WHERE rel > 0
+),
+istats AS (
+  SELECT qid,
+         sum(CASE WHEN ir <= {EVAL_K}
+                  THEN (pow(2, rel) - 1) / log2(ir + 1) END) AS idcg,
+         count(*)::BIGINT AS n_rel
+  FROM ideal GROUP BY qid
+)
+SELECT g.qid, round(g.dcg / i.idcg, 6) AS ndcg,
+       round(coalesce(g.mrr, 0::DOUBLE), 6) AS mrr,
+       round(g.hits::DOUBLE / {EVAL_K}, 6) AS precision,
+       round(g.hits::DOUBLE / i.n_rel, 6) AS recall
+FROM got g JOIN istats i ON g.qid = i.qid"""
+
+
+_KMV_K = 48
+
+
+def q_sketch_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketch.py) next to the
+    exact answer it replaces: distinct users per (event_type, day) via
+    the bottom-48 md5 order statistic.  Both paths bind at sf0.01
+    (some days hold < 48 distinct users — exact by construction — and
+    some ≥ 64 — the estimator).  The whole pipeline is exact LONG
+    arithmetic, so even the *estimate* hashes across engines."""
+    from document_retrieval_system_spark.operators.sketch import kmv_distinct
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").cast("string").alias("day"), "user_id")
+    sk = kmv_distinct(ev, ["event_type", "day"], "user_id", k=_KMV_K)
+    exact = ev.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return exact.join(sk, ["event_type", "day"]).select(
+        "event_type", "day", "n_exact", "n_kept", "kmv_distinct")
+
+
+SQL_SKETCH_DISTINCT = f"""
+WITH base AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+  FROM events
+),
+hs AS (SELECT DISTINCT event_type, day, h FROM base),
+rk AS (
+  SELECT event_type, day, h,
+         row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+  FROM hs
+),
+sk AS (
+  SELECT event_type, day, count(*)::BIGINT AS n_kept, max(h) AS hk
+  FROM rk WHERE rn <= {_KMV_K} GROUP BY event_type, day
+),
+ex AS (
+  SELECT event_type, day, count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM base GROUP BY event_type, day
+)
+SELECT s.event_type, s.day, e.n_exact, s.n_kept,
+       (CASE WHEN s.n_kept < {_KMV_K} THEN s.n_kept
+             ELSE ({_KMV_K - 1}::BIGINT * {1 << 48}::BIGINT) // s.hk
+        END)::BIGINT AS kmv_distinct
+FROM sk s JOIN ex e ON s.event_type = e.event_type AND s.day = e.day"""
+
+
 def q_fuzzy_terms(spark, sf_dir):
     """Typo-tolerant term lookup: every distinct corpus term within
     Levenshtein distance 1 of each query term, via the position-tagged
@@ -3549,6 +3980,13 @@ QUERIES = {
     "events_range": (q_events_range, SQL_EVENTS_RANGE),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONS),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+    "sketch_distinct": (q_sketch_distinct, SQL_SKETCH_DISTINCT),
+    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
+    "search_eval": (q_search_eval, SQL_SEARCH_EVAL),
+    "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
+    "ta_zipf": (q_ta_zipf, SQL_TA_ZIPF),
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
     "b8_prefix_search": (q_b8_prefix_search, SQL_B8_PREFIX),
     "b8_completions": (q_b8_completions, SQL_B8_COMPLETIONS),

@@ -1,0 +1,88 @@
+"""PageRank over a document link graph.
+
+Web-corpus curation and ranking both want a link-authority signal: the
+reference's U3 domain rescoring (rules_engine, applied in
+operators/rules.py) boosts hand-listed domains — PageRank is the
+data-derived version of that list, and quality-filter stacks (e.g.
+harmonic-centrality weighting in Common Crawl derivatives) use exactly
+this operator at web scale.
+
+Standard damped PageRank (Page et al. 1999) with dangling-mass
+redistribution:
+
+    pr'(v) = (1-d)/N + d * ( Σ_{(u,v)∈E} pr(u)/outdeg(u) + M/N )
+
+where ``M`` is the total rank held by dangling nodes (no out-links).
+Fixed iteration count (power iteration converges geometrically at rate
+``d``; 8 iterations ≈ 0.85^8 ≈ 0.27 of the gap — callers wanting
+tighter convergence raise ``iters``).
+
+Scale shape: one iteration = one (edges ⋈ ranks) shuffle on ``src`` +
+one ``dst`` aggregation — the exact join/agg pair every distributed
+PageRank (GraphX, Pregel) runs; contributions partial-aggregate
+map-side.  The rank vector is localCheckpoint-ed per iteration so the
+plan stays O(1) deep instead of O(iters) (the same lineage-bounding
+pattern as curate.duplicate_clusters), and the dangling mass is an O(1)
+scalar read off the checkpointed vector — one tiny job per iteration,
+not a hot-path collect.  Skewed in-degree (every page links to the
+hub) is absorbed by map-side combine: the hot ``dst`` key arrives
+pre-summed per partition.
+
+Determinism: float sums over in-neighbors commute only approximately;
+per-iteration drift is ~1 ulp and damping keeps it from compounding,
+so 6-decimal rounding of the final vector is engine- and
+partitioning-stable (the entry hashes it against an unrolled-CTE DuckDB
+twin whose constants are bit-identical via ``repr`` round-trip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame, damping: float = 0.85,
+             iters: int = 8) -> DataFrame:
+    """Rank ``nodes`` ("node" column) by ``edges`` ("src", "dst").
+
+    Edges must be deduplicated; dst values outside ``nodes`` lose their
+    mass (standard behavior — sanitize first if that matters).  Returns
+    (node, pr) with pr unrounded; Σ pr = 1 up to float error.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("pr"))
+    teleport = (1.0 - damping) / n
+    # materialize the loop invariants once — every iteration joins them,
+    # and without this the edge derivation (often a parse/distinct
+    # pipeline) re-executes 2x per iteration
+    nodes = nodes.select("node").localCheckpoint()
+    edges = edges.select("src", "dst").localCheckpoint()
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("double").alias("deg")).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint()
+    for _ in range(iters):
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.lit(damping)
+                 * (F.coalesce(F.col("s"), F.lit(0.0))
+                    + F.lit(dangling / n))).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -50,21 +50,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def sessionize(events: DataFrame, gap_us: int,
-               user_col: str = "user_id", us_col: str = "us",
-               id_col: str = "event_id") -> DataFrame:
-    """Assign gap-based sessions; one output row per session.
-
-    ``events`` must carry a LONG epoch-micros column ``us_col`` (exact;
-    see module docstring) and a tie-breaking id column.  Output:
-    (user, session_no, n_events, start_us, end_us, duration_us), with
-    ``session_no`` numbered 1.. per user in (us, id) order — all LONGs,
-    so the result hashes exactly across engines.
-    """
+def label_sessions(events: DataFrame, gap_us: int,
+                   user_col: str = "user_id", us_col: str = "us",
+                   id_col: str = "event_id") -> DataFrame:
+    """Tag every event with its gap-based ``session_no`` (1.. per user
+    in (us, id) order), keeping all input columns.  The building block
+    under ``sessionize`` and ``funnel_counts``."""
     w = Window.partitionBy(user_col).orderBy(
         F.col(us_col).asc(), F.col(id_col).asc())
-    ev = (
-        events.select(user_col, us_col, id_col)
+    return (
+        events
         .withColumn("_prev_us", F.lag(us_col).over(w))
         .withColumn(
             "_new",
@@ -76,11 +71,28 @@ def sessionize(events: DataFrame, gap_us: int,
         )
         .withColumn(
             "session_no",
-            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
         )
+        .drop("_prev_us", "_new")
     )
+
+
+def sessionize(events: DataFrame, gap_us: int,
+               user_col: str = "user_id", us_col: str = "us",
+               id_col: str = "event_id") -> DataFrame:
+    """Assign gap-based sessions; one output row per session.
+
+    ``events`` must carry a LONG epoch-micros column ``us_col`` (exact;
+    see module docstring) and a tie-breaking id column.  Output:
+    (user, session_no, n_events, start_us, end_us, duration_us), with
+    ``session_no`` numbered 1.. per user in (us, id) order — all LONGs,
+    so the result hashes exactly across engines.
+    """
+    ev = label_sessions(events.select(user_col, us_col, id_col), gap_us,
+                        user_col=user_col, us_col=us_col, id_col=id_col)
     return (
-        ev.groupBy(F.col(user_col), F.col("session_no").cast("long").alias("session_no"))
+        ev.groupBy(F.col(user_col), F.col("session_no"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.min(us_col).cast("long").alias("start_us"),
@@ -121,4 +133,122 @@ def event_rollup(events: DataFrame, type_col: str = "event_type",
         )
         .select("event_type", "day", "gid", "n_events", "n_users",
                 "sum_cents")
+    )
+
+
+def funnel_counts(events: DataFrame, steps, gap_us: int,
+                  user_col: str = "user_id", us_col: str = "us",
+                  id_col: str = "event_id",
+                  type_col: str = "event_type") -> DataFrame:
+    """Strict sequential funnel over gap-based sessions: how many
+    sessions reach step 1, step 2 after step 1, ... — each step's event
+    must occur strictly AFTER the previous step's earliest qualifying
+    event (the classic product-analytics funnel, evaluated exactly).
+
+    Output: (step, event_type, n_sessions, frac) where ``frac`` is the
+    step's session count over step 1's.  The step chain is evaluated as
+    |steps| per-session min-aggregations, all sharing the (user,
+    session_no) clustering of the labeling window — at 100 TB this is
+    the one user-keyed shuffle plus |steps| co-partitioned aggregates,
+    never an events×events self-join.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    lab = label_sessions(
+        events.select(user_col, us_col, id_col, type_col), gap_us,
+        user_col=user_col, us_col=us_col, id_col=id_col)
+    key = [user_col, "session_no"]
+    step_counts = []
+    prev = None
+    for i, st in enumerate(steps):
+        cur = lab.filter(F.col(type_col) == st)
+        if prev is not None:
+            cur = cur.join(prev, key).filter(F.col(us_col) > F.col(f"_t{i - 1}"))
+        reached = cur.groupBy(*key).agg(F.min(us_col).alias(f"_t{i}"))
+        step_counts.append(
+            reached.agg(F.count("*").cast("long").alias("n_sessions"))
+            .select(F.lit(i + 1).cast("long").alias("step"),
+                    F.lit(st).alias("event_type"), "n_sessions")
+        )
+        prev = reached
+    out = step_counts[0]
+    for df in step_counts[1:]:
+        out = out.unionByName(df)
+    first = out.filter(F.col("step") == 1).select(
+        F.col("n_sessions").alias("_n1"))
+    return out.crossJoin(first).select(
+        "step", "event_type", "n_sessions",
+        F.round(F.col("n_sessions") / F.col("_n1"), 6).alias("frac"),
+    )
+
+
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    qs=(0.5, 0.95, 0.99)) -> DataFrame:
+    """Exact per-group quantiles by the nearest-rank definition: the
+    value at rank ``ceil(q * n)`` of the group's ascending sort — a
+    member of the data, no interpolation, so the result is engine-exact
+    (Spark's ``percentile_approx`` is neither exact nor portable).
+
+    Output: (group, q, value).  One sort per group partition serves all
+    quantiles (the rank join is against a literal q-table).  Exact
+    quantiles at 100 TB cost a per-group sort — that is the honest
+    price of exactness; when an approximation is acceptable the KMV
+    pattern (operators/sketch.py) extends to rank sketches.
+    """
+    qs = sorted(set(float(q) for q in qs))
+    if not qs or qs[0] <= 0 or qs[-1] > 1:
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(group_col, value_col).withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count("*").over(Window.partitionBy(group_col)))
+    qdf = ranked.sparkSession.createDataFrame(
+        [(q,) for q in qs], "q double")
+    return (
+        ranked.crossJoin(F.broadcast(qdf))
+        .filter(F.col("_rn") == F.ceil(F.col("q") * F.col("_n")))
+        .select(group_col, "q", F.col(value_col).alias("value"))
+    )
+
+
+def resample_counts(events: DataFrame, bucket_us: int,
+                    type_col: str = "event_type",
+                    us_col: str = "us") -> DataFrame:
+    """Fixed-width time-bucket counts with gap filling (hypertable
+    resample): per (type, bucket) event counts, INCLUDING zero rows for
+    empty buckets between each type's first and last event — the shape
+    a downstream rate monitor or anomaly detector needs (a missing
+    bucket and a zero bucket mean different things only if zeros are
+    materialized).
+
+    Bucket index is exact LONG floor division (``(us - pmod(us, W)) / W``
+    — correct at negative timestamps too, unlike ``div``'s
+    truncate-toward-zero).  The dense axis comes from one
+    ``sequence(min, max)`` per type: its size is the time span over the
+    bucket width — independent of event volume, so the gap-fill join is
+    a broadcast against a tiny axis even at 100 TB of events.  Output:
+    (type, bucket, n_events), all exact.
+    """
+    b = F.expr(
+        f"({us_col} - ((({us_col} % {bucket_us}) + {bucket_us})"
+        f" % {bucket_us})) div {bucket_us}"
+    )
+    counts = (
+        events.select(F.col(type_col).alias("event_type"),
+                      b.cast("long").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    axis = (
+        counts.groupBy("event_type")
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select("event_type",
+                F.explode(F.sequence("_mn", "_mx")).alias("bucket"))
+    )
+    return (
+        axis.join(counts, ["event_type", "bucket"], "left")
+        .select("event_type", "bucket",
+                F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+                .alias("n_events"))
     )

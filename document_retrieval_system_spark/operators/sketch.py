@@ -44,9 +44,9 @@ def _hash48(col: F.Column) -> F.Column:
     )
 
 
-def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
+def kmv_distinct(df: DataFrame, group_cols, value_col: str,
                  k: int = 64) -> DataFrame:
-    """Per-group KMV distinct estimate: (group, n_kept, kmv_distinct).
+    """Per-group KMV distinct estimate: (*groups, n_kept, kmv_distinct).
 
     ``n_kept`` is the sketch fill (< k ⇒ the group had fewer than k
     distinct values and the estimate is exact by construction).  The
@@ -55,18 +55,20 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     """
     if not 2 <= k <= 32767:
         raise ValueError(f"k must be in [2, 32767], got {k}")
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
     hashed = (
-        df.select(F.col(group_col), _hash48(F.col(value_col)).alias("h"))
-        .groupBy(group_col, "h")
+        df.select(*group_cols, _hash48(F.col(value_col)).alias("h"))
+        .groupBy(*group_cols, "h")
         .agg(F.lit(1))  # dedupe distinct (group, hash) pairs
-        .select(group_col, "h")
+        .select(*group_cols, "h")
     )
-    w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
     bottom = hashed.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k
     )
     return (
-        bottom.groupBy(group_col)
+        bottom.groupBy(*group_cols)
         .agg(
             F.count("*").cast("long").alias("n_kept"),
             F.max("h").alias("_hk"),
@@ -77,5 +79,5 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
                 F.expr(f"({k} - 1) * {HASH_SPACE}L div _hk")
             ),
         )
-        .select(group_col, "n_kept", "kmv_distinct")
+        .select(*group_cols, "n_kept", "kmv_distinct")
     )

@@ -456,3 +456,46 @@ def c4_gopher_filters(df: DataFrame, id_col: str = "doc_id",
             & (F.col("stop_distinct") >= 2)
         ).alias("gopher_keep"),
     )
+
+
+def zipf_fit(term_freqs: DataFrame, term_col: str = "term",
+             freq_col: str = "cf") -> DataFrame:
+    """Zipf rank-frequency diagnostic: least-squares fit of
+    ``ln(freq) = intercept + slope * ln(rank)`` over the vocabulary
+    ranked by (freq desc, term asc).
+
+    Natural-language corpora fit slope ~ -1 (Zipf's law); spam, boiler-
+    plate and template farms flatten or steepen the curve, so the slope
+    is a one-number corpus-quality diagnostic — and the fitted line
+    predicts vocabulary/posting-skew for index sizing (how heavy the
+    heaviest term will be at 100x the corpus).
+
+    Output: one row (n_terms, slope, intercept, r2), rounded to 6.
+    Closed-form simple regression from five sum-aggregates — one window
+    rank + one aggregate; the vocabulary is Heaps-law sublinear in
+    corpus size, so this stays small even at web scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(freq_col).desc(), F.col(term_col).asc())
+    xy = term_freqs.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col(freq_col).cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

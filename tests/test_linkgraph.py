@@ -1,0 +1,88 @@
+"""PageRank (operators/linkgraph.py): equivalence with a dense
+reference implementation (dangling nodes included), conservation of
+mass, and partitioning invariance."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _reference_pr(n, edges, damping, iters):
+    """Dense power iteration, same recurrence as the operator."""
+    out = {}
+    for (s, _d) in edges:
+        out[s] = out.get(s, 0) + 1
+    pr = [1.0 / n] * n
+    for _ in range(iters):
+        dangling = sum(pr[v] for v in range(n) if v not in out)
+        contrib = [0.0] * n
+        for (s, d) in edges:
+            contrib[d] += pr[s] / out[s]
+        pr = [(1 - damping) / n + damping * (contrib[v] + dangling / n)
+              for v in range(n)]
+    return pr
+
+
+def _run(spark, n, edges, damping=0.85, iters=8):
+    from document_retrieval_system_spark.operators.linkgraph import pagerank
+
+    nodes = spark.createDataFrame([(v,) for v in range(n)], "node long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = pagerank(e, nodes, damping=damping, iters=iters)
+    return {r["node"]: r["pr"] for r in got.collect()}
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    rng = random.Random(7)
+    n = 40
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(120)
+                    if True})
+    edges = [(s, d) for (s, d) in edges if s != d and s % 5 != 0]
+    assert any(v not in {s for s, _ in edges} for v in range(n))  # dangling
+    got = _run(spark, n, edges)
+    want = _reference_pr(n, edges, 0.85, 8)
+    assert all(abs(got[v] - want[v]) < 1e-12 for v in range(n))
+
+
+def test_pagerank_mass_conserved_and_uniform_on_cycle(spark):
+    n = 12
+    edges = [(v, (v + 1) % n) for v in range(n)]
+    got = _run(spark, n, edges)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert max(got.values()) - min(got.values()) < 1e-12  # symmetric graph
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # star into node 0: it must outrank every spoke
+    n = 6
+    edges = [(v, 0) for v in range(1, n)]
+    got = _run(spark, n, edges)
+    assert got[0] > max(got[v] for v in range(1, n)) * 2
+
+
+def test_pagerank_partitioning_invariance(spark):
+    rng = random.Random(3)
+    n = 30
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    edges = [(s, d) for (s, d) in edges if s != d]
+    from document_retrieval_system_spark.operators.linkgraph import pagerank
+
+    nodes = spark.createDataFrame([(v,) for v in range(n)], "node long")
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    e2 = e1.repartition(7)
+    r1 = {r["node"]: round(r["pr"], 12)
+          for r in pagerank(e1, nodes, iters=4).collect()}
+    r2 = {r["node"]: round(r["pr"], 12)
+          for r in pagerank(e2, nodes.repartition(3), iters=4).collect()}
+    assert r1 == r2
+
+
+def test_pagerank_damping_validation(spark):
+    from document_retrieval_system_spark.operators.linkgraph import pagerank
+
+    nodes = spark.createDataFrame([(0,)], "node long")
+    e = spark.createDataFrame([(0, 0)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(e, nodes, damping=1.0)

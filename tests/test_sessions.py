@@ -116,3 +116,98 @@ def test_event_rollup_one_shuffle(spark):
     plan = formatted_plan(event_rollup(df))
     assert len(re.findall(r"\(\d+\) Expand\b", plan)) == 1
     assert len(re.findall(r"\(\d+\) Scan\b", plan)) <= 1
+
+
+def test_resample_gapfill_and_negatives(spark):
+    """Zero buckets materialize between each type's first and last
+    event; bucket assignment floor-divides correctly below zero."""
+    from document_retrieval_system_spark.operators.sessions import (
+        resample_counts,
+    )
+
+    rows = [("a", 0), ("a", 5), ("a", 25),        # buckets 0, 0, 2 (gap at 1)
+            ("b", -1), ("b", 11)]                 # buckets -1, 1 (gap at 0)
+    df = spark.createDataFrame(rows, "event_type string, us long")
+    got = {tuple(r) for r in resample_counts(df, bucket_us=10).collect()}
+    assert got == {
+        ("a", 0, 2), ("a", 1, 0), ("a", 2, 1),
+        ("b", -1, 1), ("b", 0, 0), ("b", 1, 1),
+    }
+
+
+def test_funnel_strict_sequencing(spark):
+    """Step k counts only when it occurs strictly AFTER the earliest
+    qualifying step k-1 event of the SAME session."""
+    from document_retrieval_system_spark.operators.sessions import (
+        funnel_counts,
+    )
+
+    rows = [
+        # user 1, one session: view(10) -> click(20) -> purchase(30): full
+        (1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "purchase", 30),
+        # user 2: click BEFORE the view -> stops at step 1
+        (2, 4, "click", 10), (2, 5, "view", 20),
+        # user 3: view and click in session 1, purchase in a LATER
+        # session -> stops at step 2
+        (3, 6, "view", 10), (3, 7, "click", 20), (3, 8, "purchase", 5000),
+        # user 4: click simultaneous with view (strict > excludes it)
+        (4, 9, "view", 10), (4, 10, "click", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, us long")
+    got = {r["step"]: (r["event_type"], r["n_sessions"], r["frac"])
+           for r in funnel_counts(
+               df, ["view", "click", "purchase"], gap_us=100).collect()}
+    assert got == {
+        1: ("view", 4, 1.0),
+        2: ("click", 2, 0.5),
+        3: ("purchase", 1, 0.25),
+    }
+
+
+def test_group_quantiles_nearest_rank(spark):
+    from document_retrieval_system_spark.operators.sessions import (
+        group_quantiles,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 7.5)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {(r["g"], r["q"]): r["value"]
+           for r in group_quantiles(df, "g", "value",
+                                    qs=(0.5, 0.95, 1.0)).collect()}
+    # nearest rank: ceil(0.5*10)=5, ceil(0.95*10)=10, ceil(1.0*10)=10
+    assert got == {("a", 0.5): 5.0, ("a", 0.95): 10.0, ("a", 1.0): 10.0,
+                   ("b", 0.5): 7.5, ("b", 0.95): 7.5, ("b", 1.0): 7.5}
+
+
+def test_group_quantiles_validation(spark):
+    import pytest
+
+    from document_retrieval_system_spark.operators.sessions import (
+        group_quantiles,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, value double")
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "value", qs=(0.0,))
+    with pytest.raises(ValueError):
+        group_quantiles(df, "g", "value", qs=(1.5,))
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """An exact power law cf = C * rank^s must fit slope == s, r2 == 1."""
+    from document_retrieval_system_spark.operators.textstats import zipf_fit
+
+    import math
+    rows = [(f"t{r:03d}", int(round(1e6 * r ** -1.0))) for r in range(1, 101)]
+    df = spark.createDataFrame(rows, "term string, cf long")
+    [got] = zipf_fit(df).collect()
+    assert got["n_terms"] == 100
+    # integer rounding of cf perturbs the fit slightly
+    assert abs(got["slope"] - (-1.0)) < 0.001
+    assert got["r2"] > 0.999999
+
+    flat = spark.createDataFrame(
+        [(f"t{r}", 500) for r in range(1, 51)], "term string, cf long")
+    [g2] = zipf_fit(flat).collect()
+    assert g2["slope"] == 0.0  # constant frequency: flat curve
