@@ -2848,6 +2848,65 @@ def _ensure_entry_index(spark, sf_dir: str):
     return IndexReader(spark, idx)
 
 
+def _ensure_merged_index(spark, sf_dir: str):
+    """Build (once per documents.parquet content) TWO overlapping
+    half-corpus indexes and their segment merge — the fixture for the
+    ``i9_index_merge`` entry.  The halves overlap on doc_id % 7 == 0, so
+    the merge also exercises the newest-segment-wins supersede path."""
+    from document_retrieval_system_spark.operators.index_build import IndexReader
+    from document_retrieval_system_spark.operators.merge import merge_indexes
+
+    idx = _entry_cache_dir("mergedidx", sf_dir, "documents.parquet")
+    if not os.path.exists(idx):
+        from document_retrieval_system_spark.operators.index_build import (
+            build_index,
+        )
+
+        tmp = f"{idx}.tmp-{os.getpid()}"
+        docs = _docs(spark, sf_dir)
+        pages = docs.select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.col("text"),
+            F.lit("en").alias("lang"),
+            F.col("doc_id").alias("_id"),
+        )
+        overlap = F.col("_id") % 7 == 0
+        for i, half in enumerate(
+            [pages.filter((F.col("_id") % 2 == 0) | overlap),
+             pages.filter((F.col("_id") % 2 == 1) | overlap)]
+        ):
+            build_index(spark, half.drop("_id"), os.path.join(tmp, f"seg{i}"),
+                        n_shards=4, analyzer=simple_process_text)
+        merge_indexes(
+            spark,
+            [os.path.join(tmp, "seg0"), os.path.join(tmp, "seg1")],
+            os.path.join(tmp, "merged"), n_shards=8,
+        )
+        _publish_cache_dir(tmp, idx)
+    return IndexReader(spark, os.path.join(idx, "merged"))
+
+
+def q_i9_index_merge(spark, sf_dir):
+    """Segment merge (operators/merge.py — the Lucene-merge analog of
+    the reference's batch reindex, indexer.py:423ff): two overlapping
+    half-corpus indexes merged into one, then WAND-searched.  The oracle
+    never sees a merge — it runs plain BM25 over the union corpus — so a
+    hash match proves supersede + ordinal remap + re-blocking end-to-end."""
+    from document_retrieval_system_spark.operators.wand import bm25_wand_search
+
+    reader = _ensure_merged_index(spark, sf_dir)
+    res = bm25_wand_search(
+        reader, " ".join(BM25_TERMS), "en", 10**6, 0.0,
+        analyzer=simple_process_text,
+    )
+    return res.select(
+        F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _ensure_ann_index(spark, sf_dir: str) -> str:
     """Persist (once per embeddings.parquet content) the LSH-bucketed ANN
     index: parquet partitioned by the signature's 6-bit prefix."""
@@ -3930,6 +3989,11 @@ QUERIES = {
                        "ORDER BY score DESC, doc_id"),
     ),
     "r3_bm25_batch": (q_r3_bm25_batch, SQL_R3_BATCH),
+    "i9_index_merge": (
+        q_i9_index_merge,
+        SQL_R3.replace("ORDER BY score DESC, doc_id LIMIT 20",
+                       "ORDER BY score DESC, doc_id"),
+    ),
     "r1_tfidf_topk": (q_r1_tfidf_topk, SQL_R1),
     "b1_boolean_single": (q_b1_boolean_single, SQL_B1),
     "b2_boolean_and": (q_b2_boolean_and, SQL_B2_AND),

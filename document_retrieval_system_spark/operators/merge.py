@@ -1,0 +1,168 @@
+"""Segment merge: combine N independently-built indexes into ONE.
+
+The Lucene/segment-merge analog for the sharded compressed index: a
+crawl pipeline that builds an index per batch (per WARC drop, per day)
+eventually holds many small indexes whose per-query cost is additive —
+merging them restores one index whose postings, docs, stats and
+manifest are indistinguishable from a single fresh build over the
+union corpus (byte-identical blocks, in fact — pinned in
+tests/test_index_merge.py).
+
+Semantics
+---------
+- Documents are keyed by ``doc_id = md5(url)`` (reference identity,
+  datasource_manager.py:246-258).  When the same document appears in
+  several segments, the HIGHEST-numbered source segment wins —
+  ``src_dirs`` order is oldest→newest, mirroring the upsert supersede
+  rule in streaming/incremental.py.
+- Ordinals are reassigned: the merged index re-runs the URL-ordered
+  dense docID assignment (``assign_local_no``) over the union, so
+  block-max locality survives the merge (segment-local ordinals would
+  interleave arbitrarily and poison WAND pruning).
+- ``n_shards`` may differ from any source's shard count — a merge is
+  also the re-shard primitive (8+8 segments → one 16-shard index).
+
+Why decode, not re-analyze: postings are decoded back to
+``build_postings`` input rows with position payloads byte-SLICED at
+varbyte boundaries (``decoded_term_rows``) — pure vectorized codec
+work at memory bandwidth.  The Python analyzer (the ~790 docs/s/core
+floor) never runs; merging is independent of document text size.
+
+Scale shape (100 TB): per segment, one map-only decode over its
+postings; ONE shuffle joining decoded rows to the (segment, old
+ordinal) → (new shard, new ordinal) remap (docs-cardinality build
+side); then ``build_postings``'s (shard, term) repartition — the same
+two-shuffle budget as a fresh build minus the analyzer stage.  A
+heavy term still hashes across all shards, so merge inherits the
+term-skew bound of the build path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from document_retrieval_system_spark.operators.index_build import (
+    MANIFEST_COLS,
+    IndexPaths,
+    assign_local_no,
+    auto_n_shards,
+    block_counter_agg,
+    build_postings,
+    decoded_term_rows,
+    finalize_index,
+    fs_delete,
+)
+
+DOC_COLS = [
+    "shard", "local_no", "doc_id", "url", "warc_ts", "lang",
+    "title", "text", "doc_len",
+]
+
+
+def merge_indexes(
+    spark: SparkSession,
+    src_dirs: list[str],
+    out_dir: str,
+    n_shards: int | None = None,
+) -> IndexPaths:
+    """Merge the indexes under ``src_dirs`` (oldest→newest) into a fresh
+    index at ``out_dir``.  Returns the merged index's paths; read it
+    with ``IndexReader(spark, out_dir)``."""
+    if not src_dirs:
+        raise ValueError("merge_indexes: need at least one source index")
+    srcs = [IndexPaths(d) for d in src_dirs]
+    out = IndexPaths(out_dir)
+    fs_delete(spark, out_dir)
+
+    # ------------------------------------------------------------------
+    # docs: union, supersede on doc_id (newest segment wins), re-shard,
+    # re-run the URL-ordered ordinal assignment
+    # ------------------------------------------------------------------
+    doc_frames = [
+        spark.read.parquet(sp.docs).withColumn("segment", F.lit(i))
+        for i, sp in enumerate(srcs)
+    ]
+    union_docs = reduce(DataFrame.unionByName, doc_frames)
+    w = Window.partitionBy("doc_id").orderBy(F.col("segment").desc())
+    winners = (
+        union_docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if n_shards is None:
+        n_shards = auto_n_shards(winners.count())
+    tagged = winners.select(
+        "segment",
+        F.col("shard").alias("old_shard"),
+        F.col("local_no").alias("old_local"),
+        "doc_id", "url", "warc_ts", "lang", "title", "text", "doc_len",
+    ).withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int")
+    )
+    # persist: the remap feeds both the docs write and the postings join,
+    # and row_number must not be recomputed under two different plans
+    renum = assign_local_no(tagged).persist()
+    try:
+        (
+            renum.select(*DOC_COLS)
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("local_no")
+            .write.partitionBy("shard")
+            .mode("append")
+            .parquet(out.docs)
+        )
+
+        # --------------------------------------------------------------
+        # postings: decode each segment, remap ordinals, re-block.
+        # Inner join on (segment, old ordinal) drops superseded docs'
+        # postings — the losing copy's key is absent from `renum`.
+        # --------------------------------------------------------------
+        post_frames = [
+            decoded_term_rows(spark.read.parquet(sp.postings))
+            .withColumnRenamed("shard", "old_shard")
+            .withColumnRenamed("local_no", "old_local")
+            .withColumn("segment", F.lit(i))
+            for i, sp in enumerate(srcs)
+        ]
+        union_rows = reduce(DataFrame.unionByName, post_frames)
+        remap = renum.select(
+            "segment", "old_shard", "old_local", "shard", "local_no"
+        )
+        rows = union_rows.join(remap, ["segment", "old_shard", "old_local"]).select(
+            "shard", "local_no", "term", "tf", "pos_bytes", "doc_len"
+        )
+        blocks = build_postings(rows).persist()
+        try:
+            (
+                blocks.repartition(n_shards, "shard")
+                .sortWithinPartitions("term", "block_no")
+                .write.partitionBy("shard")
+                .mode("append")
+                .parquet(out.postings)
+            )
+            # manifest: one 'merge' row per shard, committed AFTER the
+            # data it describes (same ordering contract as build_index)
+            docs_agg = renum.groupBy("shard").agg(
+                F.count("*").alias("docs_parsed"),
+                F.sum(
+                    F.when(F.col("doc_len") > 0, 1).otherwise(0)
+                ).alias("docs_indexed"),
+            )
+            manifest = (
+                docs_agg.join(block_counter_agg(blocks), "shard", "left")
+                .withColumn("status", F.lit("done"))
+                .withColumn("kind", F.lit("merge"))
+                .withColumn("committed_at", F.current_timestamp())
+                .select(*MANIFEST_COLS)
+            )
+            manifest.coalesce(1).write.mode("append").parquet(out.manifest)
+        finally:
+            blocks.unpersist()
+    finally:
+        renum.unpersist()
+
+    finalize_index(spark, out)
+    return out
