@@ -252,3 +252,52 @@ def resample_counts(events: DataFrame, bucket_us: int,
                 F.coalesce(F.col("_n"), F.lit(0)).cast("long")
                 .alias("n_events"))
     )
+
+
+def anomaly_buckets(events: DataFrame, bucket_us: int, z_threshold: float,
+                    type_col: str = "event_type",
+                    us_col: str = "us") -> DataFrame:
+    """Volume-anomaly detection over the event log: buckets whose count
+    deviates from their type's mean by ``z_threshold`` standard
+    deviations or more — the alerting query a crawl/search operations
+    deployment runs over its own telemetry (traffic spikes, outage
+    troughs; the gap-filled zeros from ``resample_counts`` are what
+    make a dead hour DETECTABLE rather than merely absent).
+
+    Exactness contract: the per-type moments are LONG sums (n buckets,
+    Σc, Σc²) — exact integers — and z is ONE fixed double expression
+    over them, ``(c - S/n) / sqrt((SS - S*S/n) / (n-1))``.  IEEE 754
+    division and sqrt are correctly rounded, so identical integer
+    inputs give bit-identical z on every engine and cluster size; the
+    threshold compares the unrounded z, the output rounds to 6 dp.
+    Degenerate groups (one bucket, or zero variance, where z is
+    NaN/±inf — and NaN orders ABOVE thresholds on some engines) are
+    excluded by an exact integer predicate ``SS*n > S*S``, never by a
+    float comparison.  LONG headroom: SS*n overflows only past ~3e9
+    events per type per bucket-width — document-scale, not event-scale.
+
+    Scale shape: one (type, bucket) hash aggregate over the events →
+    tiny per-type moment rows broadcast back onto the dense axis.  No
+    window over the raw events, no second pass.
+    """
+    dense = resample_counts(events, bucket_us, type_col=type_col,
+                            us_col=us_col)
+    s = dense.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("_nb"),
+        F.sum("n_events").cast("long").alias("_sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("_sxx"),
+    )
+    nb = F.col("_nb").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    c = F.col("n_events").cast("double")
+    z = (c - sx / nb) / F.sqrt((sxx - sx * sx / nb) / (nb - 1))
+    return (
+        dense.join(F.broadcast(s), "event_type")
+        .filter((F.col("_nb") > 1)
+                & (F.col("_sxx") * F.col("_nb") > F.col("_sx") * F.col("_sx")))
+        .withColumn("_z", z)
+        .filter(F.abs(F.col("_z")) >= z_threshold)
+        .select("event_type", "bucket", "n_events",
+                F.round("_z", 6).alias("z"))
+    )

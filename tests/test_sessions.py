@@ -211,3 +211,48 @@ def test_zipf_fit_recovers_planted_slope(spark):
         [(f"t{r}", 500) for r in range(1, 51)], "term string, cf long")
     [g2] = zipf_fit(flat).collect()
     assert g2["slope"] == 0.0  # constant frequency: flat curve
+
+
+def test_anomaly_buckets_planted_spike_and_trough(spark):
+    """A flat signal with one planted spike and one dead (gap) hour:
+    exactly those two buckets are flagged, zeros included via the dense
+    axis; a single-bucket type and a zero-variance type are excluded by
+    the integer degeneracy predicate, not by a NaN comparison."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_system_spark.operators.sessions import (
+        anomaly_buckets,
+    )
+
+    W = 100
+    rows = []
+    # type 'a': 40 buckets of 10 events, bucket 7 spikes to 30, bucket
+    # 23 has NO events at all (dead hour -> gap-filled zero)
+    for b in range(40):
+        if b == 23:
+            continue
+        n = 30 if b == 7 else 10
+        rows += [("a", b * W + i % W) for i in range(n)]
+    # type 'single': one bucket only (nb == 1, stddev undefined)
+    rows += [("single", 5 * W + i) for i in range(4)]
+    # type 'flat': identical count everywhere (variance == 0)
+    for b in range(10):
+        rows += [("flat", b * W + i) for i in range(3)]
+    ev = spark.createDataFrame(rows, "event_type string, us long")
+
+    out = anomaly_buckets(ev, bucket_us=W, z_threshold=2.0)
+    got = {(r["event_type"], r["bucket"], r["n_events"]) for r in out.collect()}
+    assert got == {("a", 7, 30), ("a", 23, 0)}
+    zs = {r["bucket"]: r["z"] for r in out.collect()}
+    assert zs[7] > 0 and zs[23] < 0
+
+    # negative-timestamp buckets floor correctly (no truncate-toward-zero)
+    neg = spark.createDataFrame(
+        [("n", -1), ("n", -W)], "event_type string, us long"
+    )
+    from document_retrieval_system_spark.operators.sessions import (
+        resample_counts,
+    )
+    bks = {r["bucket"]: r["n_events"]
+           for r in resample_counts(neg, W).collect()}
+    assert bks == {-1: 2}
