@@ -3924,6 +3924,106 @@ FROM bm25 JOIN documents d USING (doc_id)
 GROUP BY d.lang, d.source"""
 
 
+# stored alerting queries for the percolation entry: conjunctions with
+# negations over the corpus vocabulary — a mix of broad, selective
+# (the rare term 'dup'), and negation-heavy forms
+PERCOLATE_QUERIES = [
+    {"query_id": 1, "terms": ["data", "join", "filter"]},
+    {"query_id": 2, "terms": ["dup"]},
+    {"query_id": 3, "terms": ["spark", "hash", "merge"], "neg_terms": ["slow"]},
+    {"query_id": 4, "terms": ["window", "sort"], "neg_terms": ["batch", "small"]},
+    {"query_id": 5, "terms": ["customer", "table", "query", "column"]},
+    {"query_id": 6, "terms": ["vector", "fast"], "neg_terms": ["the"]},
+    {"query_id": 7, "terms": ["key"], "neg_terms": ["scan", "agg"]},
+    {"query_id": 8, "terms": ["stream", "group", "order"], "neg_terms": ["dup"]},
+]
+
+
+def q_percolate(spark, sf_dir):
+    """Percolation / reverse search (operators/percolate.py): every
+    document evaluated against 8 stored conjunctive-with-negation
+    alerting queries in one relational pass — vocabulary-pruned scan,
+    broadcast query store, distinct-hit-count verify, anti-join for
+    negations.  The forward engine inverted: 'which standing alerts
+    does this page trigger'."""
+    from document_retrieval_system_spark.operators.percolate import (
+        percolate,
+        stored_queries_df,
+    )
+
+    docs = _docs(spark, sf_dir)
+    doc_terms = _tok_df(docs).select(
+        "doc_id", F.explode("toks").alias("term"))
+    pos_df, neg_df = stored_queries_df(spark, PERCOLATE_QUERIES)
+    return percolate(doc_terms, pos_df, neg_df)
+
+
+def _sql_percolate() -> str:
+    pos_vals, neg_vals = [], []
+    for q in PERCOLATE_QUERIES:
+        pos = sorted(set(q["terms"]))
+        for t in pos:
+            pos_vals.append(f"({q['query_id']}::BIGINT, '{t}', {len(pos)})")
+        for t in sorted(set(q.get("neg_terms", []))):
+            neg_vals.append(f"({q['query_id']}::BIGINT, '{t}')")
+    return ("WITH " + SQL_TOKS + f""",
+dt AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks
+),
+posq(query_id, term, n_terms) AS (VALUES {", ".join(pos_vals)}),
+negq(query_id, term) AS (VALUES {", ".join(neg_vals)}),
+cand AS (
+  SELECT doc_id, query_id
+  FROM dt JOIN posq USING (term)
+  GROUP BY doc_id, query_id
+  HAVING count(*) = max(n_terms)
+)
+SELECT query_id, doc_id FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM dt JOIN negq USING (term)
+  WHERE dt.doc_id = c.doc_id AND negq.query_id = c.query_id
+)""")
+
+
+DIVERSIFY_PER_GROUP, DIVERSIFY_K = 2, 10
+
+
+def q_search_diversified(spark, sf_dir):
+    """Source-diversified top-k (operators/fusion.py::diversify_topk):
+    at most 2 results per source in the BM25 top-10 — the serving-side
+    guard against one site monopolizing the page.  Binding at sf0.01:
+    the undiversified top-10 carries 3 src13 hits; the third is
+    displaced and src18 enters."""
+    from document_retrieval_system_spark.operators.fusion import (
+        diversify_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = (
+        _bm25_scores(docs)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return diversify_topk(
+        scored, "source", DIVERSIFY_PER_GROUP, DIVERSIFY_K
+    ).select("doc_id", "source", "score", "grp_rank")
+
+
+SQL_SEARCH_DIVERSIFIED = "WITH " + SQL_BM25_BASE + f""",
+j AS (
+  SELECT bm25.doc_id, d.source, round(bm25.score, 6) AS score
+  FROM bm25 JOIN documents d USING (doc_id)
+),
+g AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, doc_id) AS grp_rank
+  FROM j
+)
+SELECT doc_id, source, score, grp_rank FROM g
+WHERE grp_rank <= {DIVERSIFY_PER_GROUP}
+ORDER BY score DESC, doc_id LIMIT {DIVERSIFY_K}"""
+
+
 RRF_K = 60
 PAGE_CURSOR_RANK, PAGE_SIZE = 10, 10
 
@@ -4111,6 +4211,8 @@ QUERIES = {
     "b8_completions": (q_b8_completions, SQL_B8_COMPLETIONS),
     "r3_bm25_proximity": (q_r3_bm25_proximity, SQL_R3_PROXIMITY),
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
+    "search_diversified": (q_search_diversified, SQL_SEARCH_DIVERSIFIED),
+    "percolate_queries": (q_percolate, _sql_percolate),
     "rrf_fusion": (q_rrf_fusion, SQL_RRF),
     "search_page2": (q_search_page2, SQL_SEARCH_PAGE2),
     "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),

@@ -70,3 +70,29 @@ def search_after(scored: DataFrame, cursor_score, cursor_id,
         .orderBy(F.col(score_col).desc(), F.col(id_col))
         .limit(page_size)
     )
+
+
+def diversify_topk(scored: DataFrame, group_col: str, per_group: int,
+                   k: int, id_col: str = "doc_id",
+                   score_col: str = "score") -> DataFrame:
+    """Result diversification: the top-k restricted to at most
+    ``per_group`` results per ``group_col`` value (host, source,
+    domain) — the standard serving-side guard against one site
+    monopolizing a result page.  Two deterministic row_numbers: rank
+    within group by (score desc, id asc), keep <= per_group, then the
+    global top-k in the same order.  Output keeps ``grp_rank`` so the
+    caller can see which results displaced an over-cap sibling.
+
+    The input is a scored MATCH SET (already bounded by query terms),
+    not the corpus: the within-group window shuffles match-set rows
+    only, and the final top-k is a TakeOrdered.  Scores must already be
+    rounded to the engine's comparison precision — ordering on raw
+    doubles would make the cut ulp-sensitive across engines."""
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("grp_rank", F.row_number().over(wg))
+        .filter(F.col("grp_rank") <= per_group)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
