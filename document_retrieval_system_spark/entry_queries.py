@@ -2147,6 +2147,58 @@ FROM got g JOIN istats i ON g.qid = i.qid"""
 _KMV_K = 48
 
 
+_CMS_DEPTH, _CMS_WIDTH = 3, 16
+
+
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (operators/sketch.py::cms_counters): term
+    frequencies estimated from a 3x16 deterministic-md5 sketch and
+    compared to truth per vocabulary term — overcount >= 0 always
+    (one-sided CMS error), > 0 where buckets collide (binding: 30 terms
+    into 16 buckets collide by construction).  Counters are exact LONG
+    cellwise-mergeable sums, so the whole output oracle-hashes."""
+    from document_retrieval_system_spark.operators.sketch import (
+        cms_counters,
+        cms_point_estimates,
+    )
+
+    occ = _tok_df(_docs(spark, sf_dir)).select(
+        F.explode("toks").alias("term"))
+    truth = occ.groupBy("term").agg(F.count("*").cast("long").alias("true_cf"))
+    counters = cms_counters(occ, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    est = cms_point_estimates(counters, truth.select("term"),
+                              depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return truth.join(est, "term").select(
+        "term", "true_cf", "cms_cf",
+        (F.col("cms_cf") - F.col("true_cf")).alias("overcount"),
+    )
+
+
+SQL_SKETCH_CMS = "WITH " + SQL_TOKS + f""",
+occ AS (SELECT unnest(toks) AS term FROM toks),
+truth AS (SELECT term, count(*)::BIGINT AS true_cf FROM occ GROUP BY term),
+rows(r) AS (VALUES {", ".join(f"({i})" for i in range(_CMS_DEPTH))}),
+cells AS (
+  SELECT r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 12))::BIGINT
+           % {_CMS_WIDTH} AS bucket,
+         count(*)::BIGINT AS c
+  FROM occ CROSS JOIN rows GROUP BY 1, 2
+),
+probes AS (
+  SELECT term, r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 12))::BIGINT
+           % {_CMS_WIDTH} AS bucket
+  FROM truth CROSS JOIN rows
+),
+est AS (
+  SELECT term, min(coalesce(c, 0))::BIGINT AS cms_cf
+  FROM probes LEFT JOIN cells USING (r, bucket) GROUP BY term
+)
+SELECT term, true_cf, cms_cf, (cms_cf - true_cf)::BIGINT AS overcount
+FROM truth JOIN est USING (term)"""
+
+
 def q_sketch_distinct(spark, sf_dir):
     """KMV distinct-count sketch (operators/sketch.py) next to the
     exact answer it replaces: distinct users per (event_type, day) via
@@ -4199,6 +4251,7 @@ QUERIES = {
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONS),
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "sketch_distinct": (q_sketch_distinct, SQL_SKETCH_DISTINCT),
+    "sketch_heavy_hitters": (q_sketch_heavy_hitters, SQL_SKETCH_CMS),
     "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
     "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
     "search_eval": (q_search_eval, SQL_SEARCH_EVAL),

@@ -81,3 +81,59 @@ def kmv_distinct(df: DataFrame, group_cols, value_col: str,
         )
         .select(*group_cols, "n_kept", "kmv_distinct")
     )
+
+
+def cms_counters(items: DataFrame, term_col: str = "term",
+                 depth: int = 3, width: int = 1024) -> DataFrame:
+    """Count-min sketch counters (Cormode & Muthukrishnan 2005) over an
+    item stream: ``depth`` independent hash rows of ``width`` LONG
+    counters, returned relationally as (r, bucket, c) — at most
+    depth*width rows regardless of input volume, built by ONE hash
+    aggregate with map-side combine.  Deterministic like every sketch
+    here: row r's hash is the truncated md5 of ``"r:item"``, so the
+    counters (and any estimate read off them) are bit-identical across
+    engines, cluster sizes and partitionings.
+
+    The counters are mergeable by cellwise addition (sum over (r,
+    bucket)) — the property that lets 1000 executors sketch 100 TB
+    independently and combine in one tiny reduce."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    return (
+        items.select(F.col(term_col).alias("_t")).select("_t", rows)
+        .select(
+            "r",
+            (_hash48(F.concat(F.col("r").cast("string"), F.lit(":"),
+                              F.col("_t"))) % width).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_point_estimates(counters: DataFrame, terms: DataFrame,
+                        term_col: str = "term",
+                        depth: int = 3, width: int = 1024) -> DataFrame:
+    """Point-query the sketch for each term in ``terms``: the CMS
+    estimate is min over rows of that row's counter — always >= the
+    true count (one-sided error; ties with it when no collision).
+    The probe set x depth cross join is tiny and broadcast against the
+    <= depth*width counter cells; a term whose cell was never touched
+    reads 0 (it never occurred)."""
+    probes = (
+        terms.select(F.col(term_col).alias("term")).distinct()
+        .select("term",
+                F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"))
+        .select(
+            "term", "r",
+            (_hash48(F.concat(F.col("r").cast("string"), F.lit(":"),
+                              F.col("term"))) % width).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(counters, ["r", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long")
+             .alias("cms_cf"))
+    )
