@@ -1975,6 +1975,74 @@ def q_graph_pagerank(spark, sf_dir):
                      F.round("pr", 6).alias("pr"))
 
 
+def _tri_edges(docs, n: int):
+    """Deterministic DENSER synthetic graph for the triangle census:
+    doc d emits d%8 out-links to (d + j*j) mod n — square offsets give
+    short-range chords, so triangles actually occur (305 at sf0.01 vs 4
+    on the sparse PageRank graph).  Pure doc_id arithmetic, both
+    engines derive the identical edge set."""
+    return (
+        docs.select(
+            F.col("node").alias("src"),
+            F.explode(F.expr("sequence(1, 7)")).alias("j"),
+        )
+        .filter(F.col("src") % 8 >= F.col("j"))
+        .select(
+            "src",
+            ((F.col("src") + F.col("j") * F.col("j")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle census + global clustering coefficient (operators/
+    linkgraph.py::triangle_stats) over the deterministic dense link
+    graph: ordered-wedge self-join closed by a semi-join, wedge count
+    from the degree table in exact LONGs.  Binding at sf0.01: 1742
+    undirected edges, 12784 wedges, 305 triangles."""
+    from document_retrieval_system_spark.operators.linkgraph import (
+        triangle_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    n = docs.count()
+    return triangle_stats(_tri_edges(docs, n))
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id + j * j) % nn.c AS dst
+  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS j)
+  CROSS JOIN nn
+  WHERE doc_id % 8 >= j AND (doc_id + j * j) % nn.c != doc_id
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+w AS (
+  SELECT sum(d * (d - 1) // 2)::BIGINT AS n_wedges,
+         count(*)::BIGINT AS n_nodes
+  FROM deg
+),
+t AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM und e1 JOIN und e2 ON e1.v = e2.u
+       JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM und)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       round(3.0 * n_triangles::DOUBLE / n_wedges::DOUBLE, 6)
+         AS global_clustering
+FROM ne CROSS JOIN w CROSS JOIN t"""
+
+
 def _sql_graph_pagerank() -> str:
     import pyarrow.parquet as pq
 
@@ -4256,6 +4324,7 @@ QUERIES = {
     "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
     "search_eval": (q_search_eval, SQL_SEARCH_EVAL),
     "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "ta_zipf": (q_ta_zipf, SQL_TA_ZIPF),

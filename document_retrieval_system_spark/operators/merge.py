@@ -166,3 +166,40 @@ def merge_indexes(
 
     finalize_index(spark, out)
     return out
+
+
+def plan_merges(segment_sizes: dict[str, int], factor: int = 10,
+                min_merge: int = 2, max_merge: int = 10) -> list[list[str]]:
+    """Size-tiered merge policy (the Lucene/LSM TieredMergePolicy shape):
+    segments fall into tiers by floor(log_factor(size)); any tier holding
+    >= ``min_merge`` segments yields merge groups of up to ``max_merge``
+    members, smallest tiers first (cheapest merges reclaim the most
+    per-query overhead per byte rewritten).  Within a tier, segments
+    group in ascending-size order so one oversized straggler doesn't
+    inflate its group's rewrite cost.
+
+    Pure driver-side arithmetic over the segment CATALOG (names +
+    sizes) — never touches segment data; callers feed the groups to
+    ``merge_indexes``.  Deterministic: ties order by name.  Empty
+    segments (size 0) tier together at -1 and merge away first.
+    """
+    if factor < 2:
+        raise ValueError(f"factor must be >= 2, got {factor}")
+    import math
+
+    tiers: dict[int, list[tuple[int, str]]] = {}
+    for name, size in segment_sizes.items():
+        if size < 0:
+            raise ValueError(f"segment {name}: negative size {size}")
+        tier = -1 if size == 0 else int(math.floor(math.log(size, factor)))
+        tiers.setdefault(tier, []).append((int(size), str(name)))
+    plans: list[list[str]] = []
+    for tier in sorted(tiers):
+        members = sorted(tiers[tier])
+        if len(members) < min_merge:
+            continue
+        for i in range(0, len(members), max_merge):
+            group = [n for (_s, n) in members[i : i + max_merge]]
+            if len(group) >= min_merge:
+                plans.append(group)
+    return plans

@@ -133,3 +133,30 @@ def test_merge_reshards_and_searches(spark, dirs):
     ]
     assert sorted(res(merged)) == sorted(res(full))
     assert {r["shard"] for r in merged.docs().select("shard").collect()} <= set(range(5))
+
+
+def test_plan_merges_tiered_policy():
+    from document_retrieval_system_spark.operators.merge import plan_merges
+
+    sizes = {
+        "s_a": 5, "s_b": 7, "s_c": 9,          # tier 0 (< 10)
+        "s_d": 120, "s_e": 800,                # tier 2
+        "s_f": 15_000,                         # tier 4 — alone, not merged
+        "s_g": 0, "s_h": 0,                    # empty tier, merges first
+    }
+    plans = plan_merges(sizes, factor=10, min_merge=2, max_merge=10)
+    assert plans[0] == ["s_g", "s_h"]                  # empties first
+    assert ["s_a", "s_b", "s_c"] in plans              # ascending size
+    assert ["s_d", "s_e"] in plans
+    assert all("s_f" not in g for g in plans)          # singleton tier stays
+
+    # max_merge splits an overfull tier; trailing undersized group drops
+    many = {f"t{i:02d}": 3 for i in range(7)}
+    got = plan_merges(many, factor=10, min_merge=3, max_merge=3)
+    assert got == [["t00", "t01", "t02"], ["t03", "t04", "t05"]]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        plan_merges({"x": -1})
+    with _pytest.raises(ValueError):
+        plan_merges({"x": 1}, factor=1)

@@ -86,3 +86,34 @@ def test_pagerank_damping_validation(spark):
     e = spark.createDataFrame([(0, 0)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(e, nodes, damping=1.0)
+
+
+def test_triangle_stats_bruteforce(spark):
+    """Random directed multigraph (dups, self-loops, both directions)
+    vs a brute-force census."""
+    import random
+
+    from document_retrieval_system_spark.operators.linkgraph import (
+        triangle_stats,
+    )
+
+    rng = random.Random(19)
+    raw = [(rng.randrange(30), rng.randrange(30)) for _ in range(260)]
+    raw += [(n, n) for n in range(5)]          # self-loops must drop
+    raw += [(b, a) for (a, b) in raw[:40]]     # reversed dups collapse
+
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(len(adj[u] & adj[v]) for u, v in und) // 3
+    wed = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+
+    df = spark.createDataFrame(raw, "src long, dst long")
+    row = triangle_stats(df).collect()[0]
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(und)
+    assert row["n_wedges"] == wed
+    assert row["n_triangles"] == tri
+    assert row["global_clustering"] == round(3.0 * tri / wed, 6)

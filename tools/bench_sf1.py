@@ -180,6 +180,8 @@ SUITE = [
     "mlt_search", "ta_cooccur_pmi", "b8_completions", "ta_lm_perplexity",
     "corpus_domain_cap", "r3_bm25_proximity", "search_facets",
     "rrf_fusion", "search_page2", "corpus_report",
+    "i9_index_merge", "events_anomaly", "search_diversified",
+    "percolate_queries", "sketch_heavy_hitters", "graph_triangles",
 ]
 
 
