@@ -3062,6 +3062,25 @@ def _ensure_merged_index(spark, sf_dir: str):
     return IndexReader(spark, os.path.join(idx, "merged"))
 
 
+def q_i10_index_fsck(spark, sf_dir):
+    """Index integrity audit (operators/fsck.py): re-derive every
+    structural invariant of the entry index — orphan postings, ordinal
+    density, doc_id uniqueness, block metadata vs decoded payloads,
+    df_local, replicated doc_len, stats sidecars — and report one
+    summary row (violations by check, 0 everywhere on a healthy
+    index).  Rows-only: the audit's subject is the binary index layout
+    itself, which SQL cannot see; per-corruption-class detection is
+    pytest-pinned in tests/test_fsck.py."""
+    from document_retrieval_system_spark.operators.fsck import fsck_index
+
+    reader = _ensure_entry_index(spark, sf_dir)
+    v = fsck_index(spark, reader.paths.root)
+    return v.agg(
+        F.count("*").cast("long").alias("n_violations"),
+        F.countDistinct("check").cast("long").alias("n_failing_checks"),
+    )
+
+
 def q_i9_index_merge(spark, sf_dir):
     """Segment merge (operators/merge.py — the Lucene-merge analog of
     the reference's batch reindex, indexer.py:423ff): two overlapping
@@ -4343,6 +4362,7 @@ QUERIES = {
     "ta_lm_perplexity": (q_ta_lm_perplexity, _sql_ta_lm_perplexity),
     "corpus_domain_cap": (q_corpus_domain_cap, SQL_CORPUS_DOMAIN_CAP),
     # Spark-only (rows-only driver check)
+    "i10_index_fsck": (q_i10_index_fsck, None),
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),
     "e2e_with_highlights": (q_e2e_with_highlights, None),
     "t8_highlights": (q_t8_highlights, None),
