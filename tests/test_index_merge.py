@@ -160,3 +160,31 @@ def test_plan_merges_tiered_policy():
         plan_merges({"x": -1})
     with _pytest.raises(ValueError):
         plan_merges({"x": 1}, factor=1)
+
+
+def test_merge_retry_after_partial_output_is_idempotent(spark, dirs):
+    """A merge that died mid-write leaves a partial out_dir; re-running
+    the same merge converges to the correct index (merge starts by
+    clearing its target, so retry == first run)."""
+    import os
+
+    pages = pages_df(spark, 60)
+    parity = F.pmod(F.xxhash64(F.md5("url")), F.lit(2))
+    a_dir, b_dir, m_dir = dirs("pa"), dirs("pb"), dirs("pm")
+    build_index(spark, pages.filter(parity == 0), a_dir, n_shards=2)
+    build_index(spark, pages.filter(parity == 1), b_dir, n_shards=2)
+
+    merge_indexes(spark, [a_dir, b_dir], m_dir, n_shards=2)
+    want_docs = _docs_key(IndexReader(spark, m_dir))
+    want_blocks = _blocks_key(IndexReader(spark, m_dir))
+
+    # simulate a crash window: manifest + one sidecar missing, postings
+    # partially present — retry must not double-append or trust leftovers
+    shutil.rmtree(os.path.join(m_dir, "manifest"))
+    shutil.rmtree(os.path.join(m_dir, "term_stats"))
+    merge_indexes(spark, [a_dir, b_dir], m_dir, n_shards=2)
+    after = IndexReader(spark, m_dir)
+    assert _docs_key(after) == want_docs
+    assert _blocks_key(after) == want_blocks
+    from document_retrieval_system_spark.operators.fsck import fsck_index
+    assert fsck_index(spark, m_dir).count() == 0
