@@ -3009,14 +3009,7 @@ def _ensure_entry_index(spark, sf_dir: str):
     idx = _entry_cache_dir("index", sf_dir, "documents.parquet")
     if not os.path.exists(idx):
         tmp = f"{idx}.tmp-{os.getpid()}"
-        docs = _docs(spark, sf_dir)
-        pages = docs.select(
-            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
-            F.lit(None).cast("binary").alias("html"),
-            F.col("text"),
-            F.lit("en").alias("lang"),
-        )
+        pages = _docs_as_pages(_docs(spark, sf_dir))
         build_index(spark, pages, tmp, n_shards=8, analyzer=simple_process_text)
         _publish_cache_dir(tmp, idx)
     return IndexReader(spark, idx)
@@ -3038,28 +3031,37 @@ def _ensure_merged_index(spark, sf_dir: str):
 
         tmp = f"{idx}.tmp-{os.getpid()}"
         docs = _docs(spark, sf_dir)
-        pages = docs.select(
-            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
-            F.lit(None).cast("binary").alias("html"),
-            F.col("text"),
-            F.lit("en").alias("lang"),
-            F.col("doc_id").alias("_id"),
-        )
+        pages = _docs_as_pages(docs).withColumn(
+            "_id", F.expr("cast(substring(url, 7) as bigint)"))
         overlap = F.col("_id") % 7 == 0
+        segs = [os.path.join(tmp, f"seg{i}") for i in (0, 1)]
         for i, half in enumerate(
             [pages.filter((F.col("_id") % 2 == 0) | overlap),
              pages.filter((F.col("_id") % 2 == 1) | overlap)]
         ):
-            build_index(spark, half.drop("_id"), os.path.join(tmp, f"seg{i}"),
+            build_index(spark, half.drop("_id"), segs[i],
                         n_shards=4, analyzer=simple_process_text)
-        merge_indexes(
-            spark,
-            [os.path.join(tmp, "seg0"), os.path.join(tmp, "seg1")],
-            os.path.join(tmp, "merged"), n_shards=8,
-        )
+        merge_indexes(spark, segs, os.path.join(tmp, "merged"), n_shards=8)
+        # the merged index is self-contained (stats re-finalized); the
+        # segments would triple the cache footprint for nothing
+        import shutil as _shutil
+
+        for s in segs:
+            _shutil.rmtree(s, ignore_errors=True)
         _publish_cache_dir(tmp, idx)
     return IndexReader(spark, os.path.join(idx, "merged"))
+
+
+def _docs_as_pages(docs):
+    """documents-table rows -> the synthetic pages schema the index
+    builders ingest (url = doc://<id>, text-only, English)."""
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
 
 
 def q_i10_index_fsck(spark, sf_dir):

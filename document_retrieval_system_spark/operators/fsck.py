@@ -14,9 +14,11 @@ postings plus the docs/stats sidecars):
 - ``orphan_posting``    decoded posting references a (shard, ordinal)
                         absent from the docs table (crash between docs
                         overwrite and postings rewrite).
-- ``ordinal_dup`` /     per-shard ordinals must be dense 0..n-1 in one
-  ``ordinal_gap``       copy each (window renumber assumption; WAND
-                        block-max addressing depends on it).
+- ``ordinal_dup`` /     per-shard ordinals must be unique and
+  ``ordinal_negative``  non-negative.  Gaps are NOT violations: the
+                        upsert/delete paths keep ordinals stable and
+                        leave holes where versions died
+                        (streaming/incremental.py).
 - ``doc_id_dup``        the same doc_id in two (shard, ordinal) slots —
                         a supersede that failed to drop the loser.
 - ``block_meta``        per-block n/first_doc/last_doc/max_tf/min_dl
@@ -87,18 +89,24 @@ def fsck_index(spark: SparkSession, index_dir: str) -> DataFrame:
         orph, "orphan_posting", F.col("local_no"),
         F.lit("ordinal in docs"), F.concat(F.lit("postings="), F.col("_n"))))
 
-    # per-shard ordinal density: n rows, all distinct, max = n-1
+    # per-shard ordinal validity: unique and non-negative.  Density
+    # (0..n-1 with no holes) deliberately is NOT an invariant: the
+    # upsert/delete paths keep ordinals STABLE across maintenance
+    # (streaming/incremental.py — survivors keep their slot forever,
+    # holes mark dead versions), so a gap is a healthy state, not
+    # corruption.  Duplicates are always corruption — block-max
+    # addressing resolves a (shard, ordinal) to exactly one doc.
     dens = doc_keys.groupBy("shard").agg(
         F.count("*").alias("_n"),
         F.countDistinct("local_no").alias("_nd"),
-        F.max("local_no").alias("_mx"),
+        F.min("local_no").alias("_mn"),
     )
     out.append(_violation(
         dens.filter(F.col("_nd") != F.col("_n")), "ordinal_dup",
         F.lit("shard"), F.col("_n"), F.col("_nd")))
     out.append(_violation(
-        dens.filter((F.col("_n") > 0) & (F.col("_mx") != F.col("_n") - 1)),
-        "ordinal_gap", F.lit("shard"), F.col("_n") - 1, F.col("_mx")))
+        dens.filter(F.col("_mn") < 0), "ordinal_negative",
+        F.lit("shard"), F.lit(">= 0"), F.col("_mn")))
 
     # doc_id uniqueness across the whole index
     dup = (
@@ -143,8 +151,10 @@ def fsck_index(spark: SparkSession, index_dir: str) -> DataFrame:
                     "_adv_maxtf", "_adv_mindl"),
         F.concat_ws("/", "_act_n", "_act_first", "_act_last",
                     "_act_maxtf", "_act_mindl")))
+    # null-SAFE: a term whose block 0 vanished advertises df_local
+    # nowhere (_df0 NULL) — that is a violation, not a skip
     out.append(_violation(
-        meta.filter(F.col("_df0") != F.col("_act_n")), "df_local",
+        meta.filter(~F.col("_df0").eqNullSafe(F.col("_act_n"))), "df_local",
         F.col("term"), F.col("_act_n"), F.col("_df0")))
 
     # dl replicated in blocks must match the docs table

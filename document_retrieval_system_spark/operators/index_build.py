@@ -407,6 +407,13 @@ def _done_shards(spark: SparkSession, paths: IndexPaths) -> set[int]:
 # stream insert batches), a 'snapshot' row's counters describe the FULL
 # post-event state of its shard (shard rewrite, compaction) and supersede
 # everything earlier — see manifest_stats.
+# the docs-table schema, shared by every writer (build, merge) — one
+# definition so a new column cannot silently vanish from one path
+DOC_TABLE_COLS = [
+    "shard", "local_no", "doc_id", "url", "warc_ts", "lang",
+    "title", "text", "doc_len",
+]
+
 MANIFEST_COLS = [
     "shard", "docs_parsed", "docs_indexed", "postings_emitted", "blocks",
     "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes", "status", "kind",
@@ -562,10 +569,7 @@ def build_index(
         # text+tokens, never raw html bytes
         tok = assign_local_no(tokenize_docs(docs, analyzer=analyzer)).persist()
         try:
-            doc_cols = tok.select(
-                "shard", "local_no", "doc_id", "url", "warc_ts", "lang",
-                "title", "text", "doc_len",
-            )
+            doc_cols = tok.select(*DOC_TABLE_COLS)
             (
                 doc_cols.repartition(len(wave), "shard")
                 .sortWithinPartitions("local_no")

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from document_retrieval_system_spark.operators.index_build import (
+    DOC_TABLE_COLS,
     MANIFEST_COLS,
     IndexPaths,
     assign_local_no,
@@ -55,11 +56,6 @@ from document_retrieval_system_spark.operators.index_build import (
     finalize_index,
     fs_delete,
 )
-
-DOC_COLS = [
-    "shard", "local_no", "doc_id", "url", "warc_ts", "lang",
-    "title", "text", "doc_len",
-]
 
 
 def merge_indexes(
@@ -73,6 +69,21 @@ def merge_indexes(
     with ``IndexReader(spark, out_dir)``."""
     if not src_dirs:
         raise ValueError("merge_indexes: need at least one source index")
+    # the target is CLEARED before sources are read — an in-place merge
+    # (out_dir a source, or nested either way) would destroy its own
+    # input; refuse before touching the filesystem
+    import os as _os
+
+    out_abs = _os.path.abspath(out_dir)
+    for d in src_dirs:
+        s_abs = _os.path.abspath(d)
+        if (out_abs == s_abs
+                or out_abs.startswith(s_abs + _os.sep)
+                or s_abs.startswith(out_abs + _os.sep)):
+            raise ValueError(
+                f"merge_indexes: out_dir {out_dir!r} overlaps source {d!r}; "
+                "merge into a fresh directory, then swap"
+            )
     srcs = [IndexPaths(d) for d in src_dirs]
     out = IndexPaths(out_dir)
     fs_delete(spark, out_dir)
@@ -94,11 +105,12 @@ def merge_indexes(
     )
     if n_shards is None:
         n_shards = auto_n_shards(winners.count())
+    carry = [c for c in DOC_TABLE_COLS if c not in ("shard", "local_no")]
     tagged = winners.select(
         "segment",
         F.col("shard").alias("old_shard"),
         F.col("local_no").alias("old_local"),
-        "doc_id", "url", "warc_ts", "lang", "title", "text", "doc_len",
+        *carry,
     ).withColumn(
         "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int")
     )
@@ -107,7 +119,7 @@ def merge_indexes(
     renum = assign_local_no(tagged).persist()
     try:
         (
-            renum.select(*DOC_COLS)
+            renum.select(*DOC_TABLE_COLS)
             .repartition(n_shards, "shard")
             .sortWithinPartitions("local_no")
             .write.partitionBy("shard")
@@ -185,14 +197,23 @@ def plan_merges(segment_sizes: dict[str, int], factor: int = 10,
     """
     if factor < 2:
         raise ValueError(f"factor must be >= 2, got {factor}")
-    import math
+
+    def _tier(size: int) -> int:
+        # integer floor(log_factor(size)): float log misplaces exact
+        # powers (floor(log(1000, 10)) == 2 on IEEE doubles)
+        if size == 0:
+            return -1
+        t = 0
+        while size >= factor:
+            size //= factor
+            t += 1
+        return t
 
     tiers: dict[int, list[tuple[int, str]]] = {}
     for name, size in segment_sizes.items():
         if size < 0:
             raise ValueError(f"segment {name}: negative size {size}")
-        tier = -1 if size == 0 else int(math.floor(math.log(size, factor)))
-        tiers.setdefault(tier, []).append((int(size), str(name)))
+        tiers.setdefault(_tier(int(size)), []).append((int(size), str(name)))
     plans: list[list[str]] = []
     for tier in sorted(tiers):
         members = sorted(tiers[tier])

@@ -11,8 +11,12 @@ pass, not a per-document loop over the query store.
 Supported query form: conjunctive with negations — ``terms`` must ALL
 be present, ``neg_terms`` must ALL be absent (the reference's B2
 AND/NOT semantics, search_engine.py boolean path, restricted to the
-conjunctive queries an alerting store actually holds; OR-queries
-register as multiple rows sharing a query_id downstream).
+conjunctive queries an alerting store actually holds).  Each query_id
+is exactly ONE conjunction — duplicate ids are rejected, because the
+hit-count verify would silently mix their term sets; a caller wanting
+OR semantics registers each disjunct under its own id and ORs the
+fired ids downstream (an alias table), which keeps every engine —
+relational, streaming, SQL twin — on identical semantics.
 
 Scale shape (the Elasticsearch design, relationally): the stored-query
 store is TINY next to the corpus, so both its positive and negative
@@ -36,21 +40,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def normalize_stored_queries(
+    queries: list[dict],
+) -> list[tuple[int, list[str], list[str]]]:
+    """Validate and normalize the stored-query list into
+    (query_id, sorted positive terms, sorted negative terms) triples:
+    duplicate terms collapse (matching is set-based), every query needs
+    at least one positive term, and query_ids must be unique (one id ==
+    one conjunction; see module docstring for OR composition)."""
+    seen: set[int] = set()
+    out = []
+    for q in queries:
+        qid = int(q["query_id"])
+        if qid in seen:
+            raise ValueError(
+                f"stored query {qid}: duplicate query_id — register each "
+                "OR-disjunct under its own id"
+            )
+        seen.add(qid)
+        pos = sorted(set(q["terms"]))
+        if not pos:
+            raise ValueError(f"stored query {qid}: needs >=1 positive term")
+        out.append((qid, pos, sorted(set(q.get("neg_terms", [])))))
+    return out
+
+
 def stored_queries_df(spark: SparkSession,
                       queries: list[dict]) -> tuple[DataFrame, DataFrame]:
     """Normalize a stored-query list (``{"query_id", "terms",
     "neg_terms"?}``) into two term tables: positives with the query's
-    required count attached, and negatives.  Duplicate terms within one
-    query are collapsed — matching is set-based."""
+    required count attached, and negatives."""
     rows_pos, rows_neg = [], []
-    for q in queries:
-        qid = int(q["query_id"])
-        pos = sorted(set(q["terms"]))
-        if not pos:
-            raise ValueError(f"stored query {qid}: needs >=1 positive term")
+    for qid, pos, neg in normalize_stored_queries(queries):
         for t in pos:
             rows_pos.append((qid, t, len(pos)))
-        for t in sorted(set(q.get("neg_terms", []))):
+        for t in neg:
             rows_neg.append((qid, t))
     pos_df = spark.createDataFrame(
         rows_pos, "query_id long, term string, n_terms int")

@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from document_retrieval_system_spark.operators.percolate import (
+    normalize_stored_queries,
+)
 from document_retrieval_system_spark.operators.textstats import simple_tokens
 
 
@@ -38,12 +41,7 @@ def percolate_stream(pages: DataFrame, queries: list[dict],
     neg)`` false — fused by codegen into a single pass over the token
     array; the only generated rows are the fired alerts."""
     fired = []
-    for q in queries:
-        qid = int(q["query_id"])
-        pos = sorted(set(q["terms"]))
-        neg = sorted(set(q.get("neg_terms", [])))
-        if not pos:
-            raise ValueError(f"stored query {qid}: needs >=1 positive term")
+    for qid, pos, neg in normalize_stored_queries(queries):
         cond = F.size(F.array_except(
             F.array(*[F.lit(t) for t in pos]), F.col("_toks"))) == 0
         if neg:

@@ -57,8 +57,10 @@ def test_missing_doc_row_detected(spark, built):
         kept.write.partitionBy("shard").parquet(paths.docs)
         got = _checks(spark, d)
         assert "orphan_posting" in got
-        assert "ordinal_gap" in got or "ordinal_dup" in got
-        # corpus sidecar now disagrees with the docs table too
+        # ordinal GAPS are deliberately not violations (stable-ordinal
+        # maintenance leaves holes); the missing doc shows up as orphaned
+        # postings + a stale corpus sidecar instead
+        assert "ordinal_dup" not in got
         assert "corpus_stats" in got
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -137,3 +139,30 @@ def test_merged_index_audits_clean(spark, built):
     finally:
         for x in (a, b, m):
             shutil.rmtree(x, ignore_errors=True)
+
+
+def test_maintained_index_with_ordinal_holes_audits_clean(spark, built):
+    """Stable-ordinal maintenance (delete/upsert) leaves holes in the
+    per-shard ordinal axis; fsck must NOT flag a consistent maintained
+    index (the r5s5 review catch)."""
+    from document_retrieval_system_spark.operators.index_build import (
+        finalize_index,
+        rebuild_shard_postings,
+    )
+
+    d = _copy(built)
+    try:
+        paths = IndexPaths(d)
+        docs = spark.read.parquet(paths.docs)
+        victim = docs.filter("shard = 2").orderBy("local_no").limit(1).collect()[0]
+        kept = docs.filter(
+            ~((F.col("shard") == 2) & (F.col("local_no") == victim["local_no"]))
+        ).localCheckpoint(eager=True)
+        shutil.rmtree(paths.docs)
+        kept.write.partitionBy("shard").parquet(paths.docs)
+        # the delete path's postings rewrite + stats refresh
+        rebuild_shard_postings(spark, paths, [2], status="delete")
+        finalize_index(spark, paths)
+        assert fsck_index(spark, d).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -188,3 +188,26 @@ def test_merge_retry_after_partial_output_is_idempotent(spark, dirs):
     assert _blocks_key(after) == want_blocks
     from document_retrieval_system_spark.operators.fsck import fsck_index
     assert fsck_index(spark, m_dir).count() == 0
+
+
+def test_merge_refuses_overlapping_target(spark, dirs):
+    import os
+
+    import pytest as _pytest
+
+    a = dirs("ovl")
+    build_index(spark, pages_df(spark, 10), a, n_shards=2)
+    for bad in (a, os.path.join(a, "sub"), os.path.dirname(a)):
+        with _pytest.raises(ValueError, match="overlaps"):
+            merge_indexes(spark, [a], bad, n_shards=2)
+    assert IndexReader(spark, a).docs().count() == 10  # source untouched
+
+
+def test_plan_merges_exact_power_boundaries():
+    from document_retrieval_system_spark.operators.merge import plan_merges
+
+    # floats put floor(log10(1000)) at 2; the integer tiering must not
+    sizes = {"k1": 1000, "k2": 4000, "small": 999}
+    plans = plan_merges(sizes, factor=10, min_merge=2)
+    assert ["k1", "k2"] in plans
+    assert all("small" not in g for g in plans)

@@ -74,3 +74,19 @@ def test_percolate_broadcasts_query_store(spark):
     plan = percolate(dt, pos_df, neg_df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_percolate_rejects_duplicate_query_ids(spark):
+    import pytest as _pytest
+
+    from document_retrieval_system_spark.streaming.alerts import (
+        percolate_stream,
+    )
+
+    dup = [{"query_id": 1, "terms": ["aa"]},
+           {"query_id": 1, "terms": ["bb"]}]
+    with _pytest.raises(ValueError, match="duplicate query_id"):
+        stored_queries_df(spark, dup)
+    docs = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="duplicate query_id"):
+        percolate_stream(docs, dup)
