@@ -12,6 +12,8 @@ Subcommands mirror the reference CLI (main.py --rebuild-index / --query):
     build   — build or resume the sharded compressed index
     query   — BM25 (WAND) / tfidf / boolean top-k against an index
     stream  — incremental append from a directory of new page batches
+    merge   — merge segment indexes into one (newest wins on doc_id)
+    fsck    — audit index integrity (exit 1 on violations)
 """
 
 from __future__ import annotations
@@ -61,6 +63,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--checkpoint", required=True)
     s.add_argument("--shards", type=int, default=32)
+
+    m = sub.add_parser("merge", help="merge segment indexes into one")
+    m.add_argument("--src", required=True, action="append",
+                   help="source index dir (repeat; oldest first — later "
+                        "segments supersede on doc_id)")
+    m.add_argument("--out", required=True, help="merged index output dir "
+                                                "(must be a fresh path)")
+    m.add_argument("--shards", default="auto",
+                   help="merged shard count, or 'auto'")
+
+    f = sub.add_parser("fsck", help="audit index integrity")
+    f.add_argument("--index", required=True)
 
     args = ap.parse_args(argv)
 
@@ -140,6 +154,31 @@ def main(argv: list[str] | None = None) -> int:
 
             run_incremental(spark, args.incoming, args.index, args.checkpoint,
                             n_shards=args.shards)
+        elif args.cmd == "merge":
+            from document_retrieval_system_spark.operators.index_build import (
+                IndexReader,
+            )
+            from document_retrieval_system_spark.operators.merge import (
+                merge_indexes,
+            )
+
+            n_shards = None if str(args.shards) == "auto" else int(args.shards)
+            merge_indexes(spark, args.src, args.out, n_shards=n_shards)
+            print(json.dumps({"merged": args.out,
+                              "corpus": IndexReader(spark, args.out).corpus()}))
+        elif args.cmd == "fsck":
+            from document_retrieval_system_spark.operators.fsck import (
+                fsck_index,
+            )
+
+            v = fsck_index(spark, args.index)
+            rows = v.collect()
+            for row in rows:
+                print(json.dumps(row.asDict(), ensure_ascii=False))
+            print(json.dumps({"index": args.index,
+                              "violations": len(rows),
+                              "clean": not rows}))
+            return 0 if not rows else 1
     finally:
         spark.stop()
     return 0
