@@ -108,8 +108,10 @@ def _tfs_df(docs: DataFrame) -> DataFrame:
 
 def _bm25_scores(docs: DataFrame, terms_df: DataFrame | None = None) -> DataFrame:
     """Unrounded BM25 scores over the documents table — for BM25_TERMS,
-    or for a (small, broadcastable) one-column `terms_df` when the query
-    term set is computed (e.g. fuzzy expansion)."""
+    or for a (small, broadcastable) `terms_df` when the query term set
+    is computed (e.g. fuzzy expansion).  A ``weight`` column on
+    `terms_df` scales each term's contribution (weighted queries: RM3
+    expansion)."""
     tfs = _tfs_df(docs)
     stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
     corpus = (
@@ -129,7 +131,9 @@ def _bm25_scores(docs: DataFrame, terms_df: DataFrame | None = None) -> DataFram
             "part",
             F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
             * F.col("tf")
-            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+            * (F.col("weight") if terms_df is not None
+               and "weight" in terms_df.columns else F.lit(1.0)),
         )
         .groupBy("doc_id")
         .agg(F.sum("part").alias("score"))
@@ -3826,6 +3830,68 @@ LM_FIT_N = 16
 DOMAIN_CAP_N, DOMAIN_CAP_SALT = 20, "drs-domain"
 
 
+PRF_K_DOCS, PRF_M_TERMS, PRF_BETA = 10, 8, 0.5
+
+
+def q_search_prf(spark, sf_dir):
+    """RM3 pseudo-relevance feedback (operators/prf.py): first-pass
+    BM25 top-10 is the feedback set, its characteristic terms (tf/|d|
+    weighted by the doc's rounded score) expand the query at
+    beta-scaled weights, and the weighted expanded query re-scores the
+    corpus.  Completes the feedback family: MLT = doc->query, fuzzy =
+    spelling repair, PRF = vocabulary repair."""
+    from document_retrieval_system_spark.operators.prf import (
+        rm3_expansion_terms,
+    )
+
+    docs = _docs(spark, sf_dir)
+    feedback = (
+        _bm25_scores(docs)
+        .select("doc_id", F.round("score", 6).alias("w"))
+        .orderBy(F.desc("w"), F.asc("doc_id"))
+        .limit(PRF_K_DOCS)
+    )
+    terms = rm3_expansion_terms(
+        _tfs_df(docs), feedback, BM25_TERMS,
+        m_terms=PRF_M_TERMS, beta=PRF_BETA,
+    )
+    return (
+        _bm25_scores(docs, terms)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_SEARCH_PRF = "WITH " + SQL_BM25_BASE + f""",
+top AS (
+  SELECT doc_id, round(score, 6) AS w FROM bm25
+  ORDER BY w DESC, doc_id LIMIT {PRF_K_DOCS}
+),
+exp AS (
+  SELECT term, round(sum(tfs.tf * top.w / tfs.dl), 6) AS ew
+  FROM tfs JOIN top USING (doc_id)
+  WHERE term NOT IN (SELECT term FROM q)
+  GROUP BY term ORDER BY ew DESC, term LIMIT {PRF_M_TERMS}
+),
+qw AS (
+  SELECT term, 1.0::DOUBLE AS weight FROM q
+  UNION ALL
+  SELECT term, round({PRF_BETA} * ew / (SELECT max(ew) FROM exp), 6) FROM exp
+),
+final AS (
+  SELECT tfs.doc_id,
+         sum( ln((corpus.n - stats.df + 0.5) / (stats.df + 0.5) + 1)
+              * tfs.tf
+              / (tfs.tf + {K1} * (1 - {B} + {B} * tfs.dl / corpus.avgdl))
+              * qw.weight ) AS score
+  FROM tfs JOIN qw USING (term) JOIN stats USING (term) CROSS JOIN corpus
+  GROUP BY tfs.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM final
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
 def q_mlt_search(spark, sf_dir):
     """More-like-this: document MLT_DOC's top-8 tf x idf terms become
     the BM25 query (operators/mlt.py); retrieval is the ordinary scorer
@@ -4360,6 +4426,7 @@ QUERIES = {
     "search_page2": (q_search_page2, SQL_SEARCH_PAGE2),
     "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "mlt_search": (q_mlt_search, SQL_MLT),
+    "search_prf_rm3": (q_search_prf, SQL_SEARCH_PRF),
     "ta_cooccur_pmi": (q_ta_cooccur, SQL_TA_COOCCUR),
     "ta_lm_perplexity": (q_ta_lm_perplexity, _sql_ta_lm_perplexity),
     "corpus_domain_cap": (q_corpus_domain_cap, SQL_CORPUS_DOMAIN_CAP),
