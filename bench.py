@@ -59,7 +59,7 @@ def main() -> None:
         "rrf_fusion", "search_page2", "corpus_report",
         "i9_index_merge", "events_anomaly", "search_diversified",
         "percolate_queries", "sketch_heavy_hitters", "graph_triangles",
-        "search_prf_rm3",
+        "search_prf_rm3", "events_json_props",
     ]
 
     timings: dict[str, float] = {}

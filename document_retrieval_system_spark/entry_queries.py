@@ -1939,6 +1939,41 @@ SELECT event_type, q, value FROM ranked CROSS JOIN q
 WHERE rn = ceil(q * n)"""
 
 
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured property extraction: the events table's ``props``
+    JSON column parsed with the TYPED path (``from_json`` with an
+    explicit schema — Catalyst-native, codegen'd, null-safe on
+    malformed rows; never a Python UDF) and rolled up per extracted
+    item key: events, exact distinct users/types, value in integer
+    cents (order-independent sums — the engine's exactness idiom for
+    money).  At 100 TB the parse is map-only and the single aggregate
+    has map-side combine; a hot item key arrives pre-summed."""
+    ev = _events(spark, sf_dir)
+    item = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select(
+            item.alias("item"), "event_type", "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        )
+        .groupBy("item")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.sum("_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT json_extract_string(props, '$.k')::INTEGER AS item,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(DISTINCT event_type)::BIGINT AS n_types,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM events GROUP BY item"""
+
+
 _PR_DAMPING = 0.85
 _PR_ITERS = 8
 
@@ -4409,6 +4444,7 @@ QUERIES = {
     "sketch_heavy_hitters": (q_sketch_heavy_hitters, SQL_SKETCH_CMS),
     "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
     "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
+    "events_json_props": (q_events_json_props, SQL_EVENTS_JSON),
     "search_eval": (q_search_eval, SQL_SEARCH_EVAL),
     "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
