@@ -106,12 +106,16 @@ def _tfs_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_scores(docs: DataFrame, terms_df: DataFrame | None = None) -> DataFrame:
+def _bm25_scores(docs: DataFrame, terms_df: DataFrame | None = None,
+                 weighted: bool = False) -> DataFrame:
     """Unrounded BM25 scores over the documents table — for BM25_TERMS,
     or for a (small, broadcastable) `terms_df` when the query term set
-    is computed (e.g. fuzzy expansion).  A ``weight`` column on
-    `terms_df` scales each term's contribution (weighted queries: RM3
-    expansion)."""
+    is computed (e.g. fuzzy expansion).  ``weighted=True`` scales each
+    term's contribution by `terms_df`'s ``weight`` column (RM3
+    expansion) — explicit opt-in, never sniffed from the schema."""
+    if weighted and (terms_df is None or "weight" not in terms_df.columns):
+        raise ValueError("weighted scoring needs a terms_df with a "
+                         "'weight' column")
     tfs = _tfs_df(docs)
     stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
     corpus = (
@@ -132,8 +136,7 @@ def _bm25_scores(docs: DataFrame, terms_df: DataFrame | None = None) -> DataFram
             F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
             * F.col("tf")
             / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
-            * (F.col("weight") if terms_df is not None
-               and "weight" in terms_df.columns else F.lit(1.0)),
+            * (F.col("weight") if weighted else F.lit(1.0)),
         )
         .groupBy("doc_id")
         .agg(F.sum("part").alias("score"))
@@ -1966,7 +1969,7 @@ def q_events_json_props(spark, sf_dir):
 
 
 SQL_EVENTS_JSON = """
-SELECT json_extract_string(props, '$.k')::INTEGER AS item,
+SELECT try_cast(json_extract_string(props, '$.k') AS INTEGER) AS item,
        count(*)::BIGINT AS n_events,
        count(DISTINCT user_id)::BIGINT AS n_users,
        count(DISTINCT event_type)::BIGINT AS n_types,
@@ -3891,7 +3894,7 @@ def q_search_prf(spark, sf_dir):
         m_terms=PRF_M_TERMS, beta=PRF_BETA,
     )
     return (
-        _bm25_scores(docs, terms)
+        _bm25_scores(docs, terms, weighted=True)
         .select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)

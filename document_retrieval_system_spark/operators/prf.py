@@ -54,6 +54,11 @@ def rm3_expansion_terms(tfs: DataFrame, feedback: DataFrame,
         .orderBy(F.desc("ew"), F.asc("term"))
         .limit(m_terms)
     )
+    # materialize the m-row expansion once: `mx` and `weighted` both
+    # reference it, and without truncation the whole first-pass lineage
+    # (corpus tokenize -> tfs -> bm25 -> top-k) would execute twice just
+    # to read max(ew) off m rows
+    exp = exp.localCheckpoint(eager=True)
     mx = exp.agg(F.max("ew").alias("_mx"))
     weighted = exp.crossJoin(F.broadcast(mx)).select(
         "term",
