@@ -4377,6 +4377,102 @@ FROM ({SQL_TA_QUALITY}) q JOIN documents d USING (doc_id)
 GROUP BY d.lang"""
 
 
+def q_curate_boilerplate(spark, sf_dir):
+    """Host-conditioned boilerplate line removal (operators/
+    boilerplate.py — the CCNet curation leg): pages are synthesized
+    deterministically from the documents table (host = doc_id % 24;
+    nav + cookie lines on every page of a host, a copyright footer, a
+    'seasonal promo' line on alternating pages — straddling the 0.5
+    host-fraction threshold host by host — and a newsletter line that
+    is all-or-nothing per host since 24 % 3 == 0).  Lines on >= 3
+    pages AND >= 50% of a host's pages are stripped everywhere on that
+    host; cleaned text is reassembled in original line order.  At
+    sf0.01 the removal histogram is {3: 160, 4: 253, 5: 87} — the
+    threshold genuinely diverges across hosts."""
+    from document_retrieval_system_spark.operators.boilerplate import (
+        strip_boilerplate,
+    )
+
+    d = _docs(spark, sf_dir)
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 24).cast("string"))
+    pages = d.select(
+        "doc_id",
+        site.alias("host"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("home about products contact "), site),
+            F.concat(F.lit("cookie consent required "), site),
+            F.when(
+                F.expr("(doc_id div 24) % 2 = 0"),
+                F.concat(F.lit("seasonal promo "), site),
+            ),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("subscribe newsletter "), site),
+            ),
+            F.concat(F.lit("copyright "), site,
+                     F.lit(" all rights reserved")),
+        ).alias("text"),
+    )
+    out = strip_boilerplate(pages, min_pages=3, min_frac=0.5)
+    return out.select(
+        "doc_id",
+        "host",
+        F.col("text").alias("clean_text"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").alias("n_removed"),
+    )
+
+
+SQL_CURATE_BOILERPLATE = """
+WITH pages AS (
+  SELECT doc_id, 'site' || (doc_id % 24)::VARCHAR AS host,
+         concat_ws(chr(10),
+           'home about products contact site' || (doc_id % 24)::VARCHAR,
+           'cookie consent required site' || (doc_id % 24)::VARCHAR,
+           CASE WHEN (doc_id // 24) % 2 = 0
+                THEN 'seasonal promo site' || (doc_id % 24)::VARCHAR END,
+           text,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'subscribe newsletter site' || (doc_id % 24)::VARCHAR END,
+           'copyright site' || (doc_id % 24)::VARCHAR || ' all rights reserved'
+         ) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, host,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS ln_no
+  FROM pages
+),
+host_pages AS (SELECT host, count(*) AS hp FROM pages GROUP BY host),
+freq AS (
+  SELECT host, line, count(DISTINCT doc_id) AS np
+  FROM lines WHERE trim(line) <> '' GROUP BY host, line
+),
+boiler AS (
+  SELECT f.host, f.line FROM freq f JOIN host_pages h USING (host)
+  WHERE f.np >= 3 AND f.np >= 0.5 * h.hp
+),
+kept AS (
+  SELECT l.doc_id, l.host, l.line, l.ln_no
+  FROM lines l ANTI JOIN boiler b ON l.host = b.host AND l.line = b.line
+),
+reasm AS (
+  SELECT doc_id, host,
+         string_agg(line, chr(10) ORDER BY ln_no) AS clean_text,
+         count(*) AS kept_n
+  FROM kept GROUP BY doc_id, host
+)
+SELECT p.doc_id, p.host,
+       coalesce(r.clean_text, '') AS clean_text,
+       len(string_split(p.text, chr(10)))::BIGINT AS n_lines,
+       (len(string_split(p.text, chr(10))) - coalesce(r.kept_n, 0))::BIGINT
+         AS n_removed
+FROM pages p LEFT JOIN reasm r ON p.doc_id = r.doc_id AND p.host = r.host"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -4469,6 +4565,7 @@ QUERIES = {
     "ta_cooccur_pmi": (q_ta_cooccur, SQL_TA_COOCCUR),
     "ta_lm_perplexity": (q_ta_lm_perplexity, _sql_ta_lm_perplexity),
     "corpus_domain_cap": (q_corpus_domain_cap, SQL_CORPUS_DOMAIN_CAP),
+    "curate_boilerplate": (q_curate_boilerplate, SQL_CURATE_BOILERPLATE),
     # Spark-only (rows-only driver check)
     "i10_index_fsck": (q_i10_index_fsck, None),
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),
