@@ -4473,6 +4473,92 @@ SELECT p.doc_id, p.host,
 FROM pages p LEFT JOIN reasm r ON p.doc_id = r.doc_id AND p.host = r.host"""
 
 
+BM25F_WEIGHTS = {"title": 2.5, "body": 1.0}
+BM25F_B = {"title": 0.4, "body": 0.8}
+BM25F_TITLE_LEN = 6
+
+
+def q_r3_bm25f(spark, sf_dir):
+    """BM25F fielded ranking (operators/bm25f.py): each document is
+    split deterministically into a title field (first 6 tokens) and a
+    body field (the rest), weighted 2.5/1.0 with per-field length
+    normalization b=0.4/0.8; per-field tfs fold into one pseudo-
+    frequency before saturation (Robertson et al. 2004), idf as the
+    unfielded engine.  Top-20 by (score desc, doc_id)."""
+    from document_retrieval_system_spark.operators.bm25f import bm25f_scores
+
+    t = _tok_df(_docs(spark, sf_dir))
+    k = BM25F_TITLE_LEN
+    fields = (
+        t.select(
+            "doc_id",
+            F.lit("title").alias("field"),
+            F.expr(f"slice(toks, 1, {k})").alias("toks"),
+        )
+        .unionAll(
+            t.select(
+                "doc_id",
+                F.lit("body").alias("field"),
+                F.expr(
+                    f"slice(toks, {k + 1}, greatest(size(toks) - {k}, 0))"
+                ).alias("toks"),
+            )
+        )
+    )
+    return (
+        bm25f_scores(fields, BM25_TERMS, BM25F_WEIGHTS, BM25F_B, k1=K1)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_R3_BM25F = "WITH " + SQL_TOKS + f""",
+fields AS (
+  SELECT doc_id, 'title' AS field,
+         list_slice(toks, 1, {BM25F_TITLE_LEN}) AS ftoks FROM toks
+  UNION ALL
+  SELECT doc_id, 'body' AS field,
+         list_slice(toks, {BM25F_TITLE_LEN + 1}, len(toks)) AS ftoks
+  FROM toks
+),
+params AS (
+  SELECT 'title' AS field, {BM25F_WEIGHTS["title"]!r}::DOUBLE AS w,
+         {BM25F_B["title"]!r}::DOUBLE AS b
+  UNION ALL
+  SELECT 'body', {BM25F_WEIGHTS["body"]!r}::DOUBLE,
+         {BM25F_B["body"]!r}::DOUBLE
+),
+fl AS (SELECT doc_id, field, ftoks, len(ftoks) AS flen FROM fields),
+avgf AS (SELECT field, avg(flen) AS avgfl FROM fl GROUP BY field),
+corpus AS (SELECT count(DISTINCT doc_id) AS n FROM fields),
+tf AS (
+  SELECT doc_id, field, flen, unnest(ftoks) AS term FROM fl
+),
+tfc AS (
+  SELECT doc_id, field, flen, term, count(*) AS tf
+  FROM tf GROUP BY doc_id, field, flen, term
+),
+tft AS (
+  SELECT t.doc_id, t.term,
+         sum(p.w * t.tf / (1 - p.b + p.b * t.flen / a.avgfl)) AS tft
+  FROM tfc t JOIN params p USING (field) JOIN avgf a USING (field)
+  GROUP BY t.doc_id, t.term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tft GROUP BY term),
+q AS (SELECT unnest({BM25_TERMS!r}) AS term),
+scored AS (
+  SELECT t.doc_id,
+         sum( ln((corpus.n - d.df + 0.5) / (d.df + 0.5) + 1)
+              * t.tft / (t.tft + {K1}) ) AS score
+  FROM tft t JOIN q USING (term) JOIN dfreq d USING (term)
+  CROSS JOIN corpus
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -4566,6 +4652,7 @@ QUERIES = {
     "ta_lm_perplexity": (q_ta_lm_perplexity, _sql_ta_lm_perplexity),
     "corpus_domain_cap": (q_corpus_domain_cap, SQL_CORPUS_DOMAIN_CAP),
     "curate_boilerplate": (q_curate_boilerplate, SQL_CURATE_BOILERPLATE),
+    "r3_bm25f": (q_r3_bm25f, SQL_R3_BM25F),
     # Spark-only (rows-only driver check)
     "i10_index_fsck": (q_i10_index_fsck, None),
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),
