@@ -2085,7 +2085,10 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
 FROM ne CROSS JOIN w CROSS JOIN t"""
 
 
-def _sql_graph_pagerank() -> str:
+def _sql_pagerank_ctes() -> str:
+    """The unrolled-power-iteration CTE chain WITHOUT a leading WITH or
+    final SELECT, so both the standalone pagerank oracle and the
+    static-rank blend can splice it."""
     import pyarrow.parquet as pq
 
     n = pq.ParquetFile(
@@ -2094,7 +2097,7 @@ def _sql_graph_pagerank() -> str:
     tele = repr((1.0 - _PR_DAMPING) / n)
     init = repr(1.0 / n)
     damp = repr(_PR_DAMPING)
-    parts = [f"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+    parts = [f"""nodes AS (SELECT doc_id AS node FROM documents),
 edges AS (
   SELECT DISTINCT src, (src * 17 + j * j + 7) % {n} AS dst FROM (
     SELECT doc_id AS src, unnest([1, 2, 3, 4]) AS j FROM documents
@@ -2121,9 +2124,13 @@ r{t + 1} AS (
   FROM nodes nd CROSS JOIN dm{t} dm
   LEFT JOIN c{t} c ON nd.node = c.node
 )""")
-    parts.append(
-        f"\nSELECT node AS doc_id, round(pr, 6) AS pr FROM r{_PR_ITERS}")
     return "".join(parts)
+
+
+def _sql_graph_pagerank() -> str:
+    return ("WITH " + _sql_pagerank_ctes()
+            + f"\nSELECT node AS doc_id, round(pr, 6) AS pr"
+              f" FROM r{_PR_ITERS}")
 
 
 EVAL_QUERY_TERMS = [
@@ -4559,6 +4566,57 @@ SELECT doc_id, round(score, 6) AS score FROM scored
 ORDER BY score DESC, doc_id LIMIT 20"""
 
 
+_STATIC_RANK_W = 0.2
+
+
+def q_search_static_rank(spark, sf_dir):
+    """Static-rank blended retrieval (operators/fusion.py::
+    static_rank_blend): BM25 matched-doc scores boosted by the
+    query-independent PageRank prior over the deterministic link graph
+    — blended = bm25 * (1 + 0.2 * ln(1 + pr * N)), the multiplicative-
+    log authority boost of a web ranker.  Oracle splices the unrolled
+    8-iteration PageRank CTE chain into the shared BM25 SQL.  Top-20
+    by (blended desc, doc_id)."""
+    from document_retrieval_system_spark.operators.fusion import (
+        static_rank_blend,
+    )
+    from document_retrieval_system_spark.operators.linkgraph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    n = docs.count()
+    pr = pagerank(_link_edges(nodes, n), nodes,
+                  damping=_PR_DAMPING, iters=_PR_ITERS)
+    prior = pr.select(
+        F.col("node").alias("doc_id"),
+        (F.col("pr") * F.lit(float(n))).alias("prior"),
+    )
+    blended = static_rank_blend(
+        _bm25_scores(docs), prior, weight=_STATIC_RANK_W)
+    return (
+        blended.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_search_static_rank() -> str:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        os.path.join(_oracle_sf_dir(), "documents.parquet")
+    ).metadata.num_rows
+    return (
+        "WITH " + SQL_BM25_BASE + ",\n" + _sql_pagerank_ctes() + f"""
+SELECT b.doc_id,
+       round(b.score * (1 + {_STATIC_RANK_W!r}
+                        * ln(1 + coalesce(r.pr * {float(n)!r}, 0))), 6)
+         AS score
+FROM bm25 b LEFT JOIN r{_PR_ITERS} r ON b.doc_id = r.node
+ORDER BY score DESC, b.doc_id LIMIT 20"""
+    )
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -4653,6 +4711,7 @@ QUERIES = {
     "corpus_domain_cap": (q_corpus_domain_cap, SQL_CORPUS_DOMAIN_CAP),
     "curate_boilerplate": (q_curate_boilerplate, SQL_CURATE_BOILERPLATE),
     "r3_bm25f": (q_r3_bm25f, SQL_R3_BM25F),
+    "search_static_rank": (q_search_static_rank, _sql_search_static_rank),
     # Spark-only (rows-only driver check)
     "i10_index_fsck": (q_i10_index_fsck, None),
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),

@@ -36,6 +36,40 @@ def ranked(scored: DataFrame, id_col: str = "doc_id",
     return scored.select(F.col(id_col), F.row_number().over(w).alias("rank"))
 
 
+def static_rank_blend(scored: DataFrame, prior: DataFrame,
+                      weight: float = 0.2, id_col: str = "doc_id",
+                      score_col: str = "score",
+                      prior_col: str = "prior") -> DataFrame:
+    """Blend a query-dependent score with a query-INDEPENDENT document
+    prior (PageRank, host trust, freshness) the way web rankers do:
+
+        blended = score * (1 + weight * ln(1 + prior))
+
+    Multiplicative-log, not additive: an additive prior would dominate
+    low-scoring tail queries and vanish on high-scoring ones; the log
+    keeps a 1000x authority gap worth a bounded boost.  `prior` should
+    be pre-scaled so a typical document sits near 1 (for PageRank:
+    pr * N, since pr averages 1/N).
+
+    The join is an equi-join on the doc id; `scored` is a top-k or
+    matched-docs set (small), `prior` is corpus-wide — Spark/AQE
+    broadcasts the scored side.  Docs missing a prior keep their raw
+    score (left join + coalesce 0): a ranker must not drop a document
+    because the link graph has not seen it yet.
+    """
+    p = prior.select(F.col(id_col), F.col(prior_col).alias("_prior"))
+    return (
+        scored.join(p, id_col, "left")
+        .select(
+            id_col,
+            (F.col(score_col)
+             * (1 + F.lit(float(weight))
+                * F.log(1 + F.coalesce(F.col("_prior"), F.lit(0.0)))))
+            .alias(score_col),
+        )
+    )
+
+
 def rrf_fuse(rankings: list[DataFrame], k_rrf: int = 60,
              id_col: str = "doc_id") -> DataFrame:
     """Fuse top-k lists: each input is (id, rank); output

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from document_retrieval_system_spark.operators.fusion import (
@@ -54,3 +55,23 @@ def test_search_after_tie_straddling_cursor(spark):
     )
     page = search_after(df, F.lit(5.0), F.lit(2), 10).collect()
     assert [r["doc_id"] for r in page] == [3, 4, 5, 10]
+
+
+def test_static_rank_blend_hand_computed(spark):
+    import math
+
+    from document_retrieval_system_spark.operators.fusion import (
+        static_rank_blend,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 2.0), (2, 2.0), (3, 1.0)], "doc_id long, score double")
+    prior = spark.createDataFrame(
+        [(1, 1.0), (2, 4.0)], "doc_id long, prior double")
+    got = {r["doc_id"]: r["score"] for r in
+           static_rank_blend(scored, prior, weight=0.5).collect()}
+    assert got[1] == pytest.approx(2.0 * (1 + 0.5 * math.log(2.0)))
+    assert got[2] == pytest.approx(2.0 * (1 + 0.5 * math.log(5.0)))
+    # doc 3 has NO prior: kept with its raw score, not dropped
+    assert got[3] == pytest.approx(1.0)
+    assert got[2] > got[1] > got[3]
