@@ -107,17 +107,23 @@ def _tfs_df(docs: DataFrame) -> DataFrame:
 
 
 def _bm25_scores(docs: DataFrame, terms_df: DataFrame | None = None,
-                 weighted: bool = False) -> DataFrame:
+                 weighted: bool = False,
+                 postings: DataFrame | None = None) -> DataFrame:
     """Unrounded BM25 scores over the documents table — for BM25_TERMS,
     or for a (small, broadcastable) `terms_df` when the query term set
     is computed (e.g. fuzzy expansion).  ``weighted=True`` scales each
     term's contribution by `terms_df`'s ``weight`` column (RM3
-    expansion) — explicit opt-in, never sniffed from the schema."""
+    expansion) — explicit opt-in, never sniffed from the schema.
+    ``postings`` overrides the (doc_id, term, tf, dl) rows actually
+    scored (e.g. a statically pruned tier) while df/avgdl stay those
+    of the FULL corpus, so surviving postings score identically."""
     if weighted and (terms_df is None or "weight" not in terms_df.columns):
         raise ValueError("weighted scoring needs a terms_df with a "
                          "'weight' column")
     tfs = _tfs_df(docs)
     stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
+    if postings is not None:
+        tfs = postings
     corpus = (
         _tok_df(docs)
         .filter(F.size("toks") > 0)
@@ -4617,6 +4623,63 @@ ORDER BY score DESC, b.doc_id LIMIT 20"""
     )
 
 
+PRUNE_KEEP_FRAC = 0.3
+PRUNE_KEEP_MIN = 2
+
+
+def q_i11_impact_prune(spark, sf_dir):
+    """Static index pruning (operators/prune.py, Carmel et al. 2001):
+    per term keep the top ceil(0.3 * df) postings by (tf desc, doc_id)
+    — floor 2 — then serve BM25 top-20 from the pruned tier with FULL
+    corpus stats, so surviving postings score exactly their unpruned
+    values.  The oracle ranks postings with the same window in SQL."""
+    from document_retrieval_system_spark.operators.prune import (
+        impact_prune_tfs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pruned = impact_prune_tfs(_tfs_df(docs), keep_frac=PRUNE_KEEP_FRAC,
+                              keep_min=PRUNE_KEEP_MIN)
+    return (
+        _bm25_scores(docs, postings=pruned)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_I11_PRUNE = "WITH " + SQL_TFS + f""",
+stats AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+corpus AS (
+  SELECT count(*) AS n, avg(len(toks)) AS avgdl
+  FROM toks WHERE len(toks) > 0
+),
+ranked AS (
+  SELECT doc_id, term, tf, dl,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS rnk
+  FROM tfs
+),
+pruned AS (
+  SELECT r.doc_id, r.term, r.tf, r.dl
+  FROM ranked r JOIN stats s USING (term)
+  WHERE r.rnk <= greatest({PRUNE_KEEP_MIN},
+                          ceil({PRUNE_KEEP_FRAC!r} * s.df))
+),
+q AS (SELECT unnest({BM25_TERMS!r}) AS term),
+bm25 AS (
+  SELECT p.doc_id,
+         sum( ln((corpus.n - stats.df + 0.5) / (stats.df + 0.5) + 1)
+              * p.tf / (p.tf + {K1} * (1 - {B} + {B} * p.dl / corpus.avgdl)) )
+           AS score
+  FROM pruned p JOIN q USING (term) JOIN stats USING (term)
+  CROSS JOIN corpus
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM bm25
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -4712,6 +4775,7 @@ QUERIES = {
     "curate_boilerplate": (q_curate_boilerplate, SQL_CURATE_BOILERPLATE),
     "r3_bm25f": (q_r3_bm25f, SQL_R3_BM25F),
     "search_static_rank": (q_search_static_rank, _sql_search_static_rank),
+    "i11_impact_prune": (q_i11_impact_prune, SQL_I11_PRUNE),
     # Spark-only (rows-only driver check)
     "i10_index_fsck": (q_i10_index_fsck, None),
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),
