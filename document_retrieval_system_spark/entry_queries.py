@@ -4680,6 +4680,50 @@ SELECT doc_id, round(score, 6) AS score FROM bm25
 ORDER BY score DESC, doc_id LIMIT 20"""
 
 
+def q_ta_host_terms(spark, sf_dir):
+    """Per-host distinctive terms (operators/textstats.py::
+    distinctive_terms, c-TF-IDF): hosts synthesized as doc_id % 16,
+    each host treated as one pseudo-document; weight =
+    (1 + ln(tf_host)) * ln(1 + G / hosts_with_term), top-3 per host by
+    (weight desc, term asc)."""
+    from document_retrieval_system_spark.operators.textstats import (
+        distinctive_terms,
+    )
+
+    d = _docs(spark, sf_dir)
+    occ = d.select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 16).cast("string"))
+        .alias("host"),
+        F.explode(simple_tokens(F.col("text"))).alias("term"),
+    )
+    out = distinctive_terms(occ, top_n=3)
+    return out.select(
+        "host", "rank", "term", "tf", F.round("weight", 6).alias("weight"))
+
+
+SQL_TA_HOST_TERMS = "WITH " + SQL_TOKS + """,
+occ AS (
+  SELECT 'site' || (doc_id % 16)::VARCHAR AS host, unnest(toks) AS term
+  FROM toks
+),
+grp AS (SELECT host, term, count(*) AS tf FROM occ GROUP BY host, term),
+ng AS (SELECT count(DISTINCT host) AS g FROM occ),
+gw AS (SELECT term, count(*) AS gw FROM grp GROUP BY term),
+weighted AS (
+  SELECT grp.host, grp.term, grp.tf,
+         (1 + ln(grp.tf)) * ln(1 + ng.g::DOUBLE / gw.gw) AS weight
+  FROM grp JOIN gw USING (term) CROSS JOIN ng
+),
+rnk AS (
+  SELECT host, term, tf, weight,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY weight DESC, term) AS rank
+  FROM weighted
+)
+SELECT host, rank::INTEGER AS rank, term, tf, round(weight, 6) AS weight
+FROM rnk WHERE rank <= 3"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -4776,6 +4820,7 @@ QUERIES = {
     "r3_bm25f": (q_r3_bm25f, SQL_R3_BM25F),
     "search_static_rank": (q_search_static_rank, _sql_search_static_rank),
     "i11_impact_prune": (q_i11_impact_prune, SQL_I11_PRUNE),
+    "ta_host_terms": (q_ta_host_terms, SQL_TA_HOST_TERMS),
     # Spark-only (rows-only driver check)
     "i10_index_fsck": (q_i10_index_fsck, None),
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),

@@ -332,6 +332,51 @@ def extract_keywords(df: DataFrame, top_n: int = 10, id_col: str = "doc_id",
     )
 
 
+def distinctive_terms(occurrences: DataFrame, top_n: int = 3,
+                      group_col: str = "host",
+                      term_col: str = "term") -> DataFrame:
+    """Per-group distinctive terms — class-based TF-IDF (the c-TF-IDF
+    of Grootendorst 2022, BERTopic §2.3): treat each group (host,
+    cluster, topic) as one concatenated pseudo-document and weight
+
+        w(t, g) = (1 + ln(tf_{t,g})) * ln(1 + G / groups_with(t))
+
+    so terms common to most hosts (nav chrome, function words) sink
+    and host-specific vocabulary labels the host.  Corpus-diagnostic
+    use: "what is each domain about" over a 10^7-host crawl.
+
+    Input is exploded (group, term) occurrence rows; output the top-N
+    per group by (weight desc, term asc) with a dense 1-based rank.
+
+    Shape: one groupBy (group, term) with map-side partial agg, one
+    tiny groupBy term over the already-collapsed pairs, one window per
+    group over at most |vocab(group)| rows.  G (distinct group count)
+    is a driver-side scalar of the group cardinality, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    grp_tf = (
+        occurrences.groupBy(group_col, term_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    n_groups = occurrences.select(group_col).distinct().count()
+    groups_with = grp_tf.groupBy(term_col).agg(
+        F.count("*").alias("gw"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("weight"), F.asc(term_col))
+    return (
+        grp_tf.join(groups_with, term_col)
+        .withColumn(
+            "weight",
+            (1 + F.log("tf"))
+            * F.log(1 + F.lit(float(n_groups)) / F.col("gw")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(group_col, "rank", term_col, "tf", "weight")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 / Gopher heuristic filters (Raffel et al. 2020 §2.2; Rae et al. 2021
 # table A1) — the line- and document-level webtext keep/drop rules every

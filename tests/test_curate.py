@@ -443,3 +443,34 @@ def test_contamination_verdicts_null_text(spark):
            for r in contamination_verdicts(train, ev, ngram=8).collect()}
     assert got[1] == (0, False)
     assert got[2][0] == 1 and got[2][1]
+
+
+def test_distinctive_terms_ctfidf(spark):
+    import math
+
+    import pytest
+
+    from document_retrieval_system_spark.operators.textstats import (
+        distinctive_terms,
+    )
+
+    # "common" occurs on both hosts; each host has its own marker term.
+    rows = ([("a", "common")] * 3 + [("a", "alpha")] * 2
+            + [("b", "common")] * 3 + [("b", "beta")])
+    occ = spark.createDataFrame(rows, "host string, term string")
+    out = {(r["host"], r["rank"]): (r["term"], r["tf"], r["weight"])
+           for r in distinctive_terms(occ, top_n=2).collect()}
+    # host a's tf=2 marker beats the shared term; on host b the tf=1
+    # marker loses to the tf=3 shared term — the formula genuinely
+    # trades tf against cross-host idf rather than always preferring
+    # host-unique vocabulary.
+    assert out[("a", 1)][0] == "alpha"
+    assert out[("a", 2)][0] == "common"
+    assert out[("b", 1)][0] == "common"
+    assert out[("b", 2)][0] == "beta"
+    w_alpha = (1 + math.log(2)) * math.log(1 + 2 / 1)
+    assert out[("a", 1)][2] == pytest.approx(w_alpha, rel=1e-12)
+    w_beta = (1 + math.log(1)) * math.log(1 + 2 / 1)
+    w_common = (1 + math.log(3)) * math.log(1 + 2 / 2)
+    assert w_common > w_beta
+    assert out[("b", 1)][2] == pytest.approx(w_common, rel=1e-12)
