@@ -60,6 +60,8 @@ def main() -> None:
         "i9_index_merge", "events_anomaly", "search_diversified",
         "percolate_queries", "sketch_heavy_hitters", "graph_triangles",
         "search_prf_rm3", "events_json_props",
+        "curate_boilerplate", "r3_bm25f", "search_static_rank",
+        "i11_impact_prune", "ta_host_terms",
     ]
 
     timings: dict[str, float] = {}

@@ -158,6 +158,101 @@ def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Simple8b (Anh & Moffat 2010, "Index compression using 64-bit words") —
+# the word-aligned alternative to varbyte: each 64-bit word carries a
+# 4-bit selector + 60 payload bits packing 1..240 equal-width values.
+# Decode is branch-free per selector class (no per-byte continuation-bit
+# scan), which is why column stores and time-series engines favor it;
+# varbyte stays the on-disk default here because BASELINE.json mandates
+# it, and tools/bench_codec.py records the measured trade between the
+# two on real posting deltas.
+# ---------------------------------------------------------------------------
+
+_S8B_COUNTS = (240, 120, 60, 30, 20, 15, 12, 10, 8, 7, 6, 5, 4, 3, 2, 1)
+_S8B_BITS = (0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 15, 20, 30, 60)
+_S8B_MAX = (1 << 60) - 1
+
+
+def _bit_widths(vals: np.ndarray) -> np.ndarray:
+    """Bit width of each uint64 value (0 for value 0), vectorized —
+    the loop is over BIT POSITION (<= 60 iterations), never values."""
+    widths = np.zeros(vals.shape, dtype=np.int64)
+    tmp = vals.copy()
+    while tmp.any():
+        widths[tmp > 0] += 1
+        tmp >>= np.uint64(1)
+    return widths
+
+
+def s8b_encode(values: np.ndarray) -> bytes:
+    """Simple8b-encode a uint64 array (values < 2^60) to little-endian
+    64-bit words.  Greedy packing: each word takes the densest selector
+    whose width covers the next `count` values; every word is FULLY
+    populated (tail words fall back to smaller counts), so decode
+    yields exactly the encoded count with no padding sentinel.
+
+    The per-word Python loop runs once per OUTPUT word — posting
+    blocks are 128 deltas, i.e. a handful of words; inside, only numpy
+    slice ops.
+    """
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return b""
+    if int(vals.max()) > _S8B_MAX:
+        raise ValueError("simple8b value exceeds 60 bits")
+    widths = _bit_widths(vals)
+    # running max of widths over each candidate window via cummax per
+    # word start (windows are <= 240 long, slices are cheap)
+    out = []
+    i = 0
+    n = vals.size
+    while i < n:
+        remaining = n - i
+        for sel, (count, bits) in enumerate(zip(_S8B_COUNTS, _S8B_BITS)):
+            if count > remaining:
+                continue
+            window = widths[i:i + count]
+            if int(window.max()) <= bits or (bits == 0 and not window.any()):
+                word = np.uint64(sel) << np.uint64(60)
+                if bits:
+                    shifts = (np.arange(count, dtype=np.uint64)
+                              * np.uint64(bits))
+                    word |= np.bitwise_or.reduce(
+                        vals[i:i + count] << shifts)
+                out.append(word)
+                i += count
+                break
+        else:  # pragma: no cover - sel 15 (1 x 60 bits) always fits
+            raise AssertionError("no selector matched")
+    return np.asarray(out, dtype="<u8").tobytes()
+
+
+def s8b_decode(buf: bytes) -> np.ndarray:
+    """Decode Simple8b words back to uint64 — vectorized per selector
+    CLASS: words are grouped by selector, each class unpacks with one
+    broadcast shift matrix, and results scatter back into encoded
+    order.  No per-value Python loop."""
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    words = np.frombuffer(buf, dtype="<u8")
+    sels = (words >> np.uint64(60)).astype(np.int64)
+    counts = np.asarray(_S8B_COUNTS, dtype=np.int64)[sels]
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out = np.zeros(int(counts.sum()), dtype=np.uint64)
+    for sel in np.unique(sels):
+        count, bits = _S8B_COUNTS[sel], _S8B_BITS[sel]
+        if bits == 0:
+            continue  # zero-width runs decode to the zeros already there
+        mask = sels == sel
+        shifts = (np.arange(count, dtype=np.uint64) * np.uint64(bits))
+        vals = (words[mask][:, None] >> shifts[None, :]) \
+            & np.uint64((1 << bits) - 1)
+        idx = offsets[mask][:, None] + np.arange(count, dtype=np.int64)
+        out[idx.ravel()] = vals.ravel()
+    return out
+
+
 def bm25_tf_norm(tf: np.ndarray, doc_len: np.ndarray, avgdl: float,
                  k1: float = 1.2, b: float = 0.75) -> np.ndarray:
     """tf / (tf + k1*(1-b+b*dl/avgdl)) — search_engine.py:466, float64."""

@@ -82,3 +82,80 @@ def test_split_position_payloads_inverts_concatenation():
         assert block == encode_positions(lists)
         assert split_position_payloads(block, len(lists)) == per_doc
     assert split_position_payloads(b"", 0) == []
+
+
+# --------------------------------------------------------------------------
+# Simple8b
+# --------------------------------------------------------------------------
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                max_size=600))
+@settings(max_examples=200, deadline=None)
+def test_s8b_roundtrip(values):
+    from document_retrieval_system_spark.operators.codec import (
+        s8b_decode,
+        s8b_encode,
+    )
+
+    arr = np.asarray(values, dtype=np.uint64)
+    got = s8b_decode(s8b_encode(arr))
+    assert got.dtype == np.uint64
+    assert np.array_equal(got, arr)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_s8b_agrees_with_varbyte(values):
+    from document_retrieval_system_spark.operators.codec import (
+        s8b_decode,
+        s8b_encode,
+        vb_decode,
+        vb_encode,
+    )
+
+    arr = np.asarray(values, dtype=np.uint64)
+    assert np.array_equal(s8b_decode(s8b_encode(arr)),
+                          vb_decode(vb_encode(arr)))
+
+
+def test_s8b_edges_and_packing_density():
+    from document_retrieval_system_spark.operators.codec import (
+        s8b_decode,
+        s8b_encode,
+    )
+
+    assert s8b_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert s8b_decode(b"").size == 0
+    # 240 zeros pack into ONE 8-byte word (selector 0)
+    assert len(s8b_encode(np.zeros(240, dtype=np.uint64))) == 8
+    # 60 one-bit values pack into one word
+    assert len(s8b_encode(np.ones(60, dtype=np.uint64))) == 8
+    # max 60-bit value round-trips alone
+    big = np.asarray([(1 << 60) - 1], dtype=np.uint64)
+    assert np.array_equal(s8b_decode(s8b_encode(big)), big)
+    # dense docID deltas (all 1s, the sorted-dense-corpus case) cost
+    # well under 1 byte/posting — the win over varbyte's 1-byte floor
+    deltas = np.ones(1200, dtype=np.uint64)
+    assert len(s8b_encode(deltas)) / deltas.size < 0.2
+
+
+def test_s8b_rejects_values_over_60_bits():
+    import pytest
+
+    from document_retrieval_system_spark.operators.codec import s8b_encode
+
+    with pytest.raises(ValueError, match="60 bits"):
+        s8b_encode(np.asarray([1 << 60], dtype=np.uint64))
+
+
+def test_s8b_mixed_width_tail():
+    from document_retrieval_system_spark.operators.codec import (
+        s8b_decode,
+        s8b_encode,
+    )
+
+    # widths forcing several selector classes + a partial tail window
+    arr = np.asarray([0] * 300 + [1] * 61 + [2 ** 30] * 3 + [5],
+                     dtype=np.uint64)
+    assert np.array_equal(s8b_decode(s8b_encode(arr)), arr)
