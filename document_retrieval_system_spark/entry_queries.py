@@ -4724,6 +4724,117 @@ SELECT host, rank::INTEGER AS rank, term, tf, round(weight, 6) AS weight
 FROM rnk WHERE rank <= 3"""
 
 
+_ANCHOR_W = {"body": 1.0, "anchor": 3.0}
+_ANCHOR_B = {"body": 0.75, "anchor": 0.5}
+_ANCHOR_LEN = 3
+
+
+def q_search_anchor_text(spark, sf_dir):
+    """Anchor-text retrieval (the classic web-search signal:
+    Brin & Page 1998 §2.2): every link src->dst in the deterministic
+    graph contributes src's first 3 tokens as anchor text describing
+    dst; retrieval is BM25F over (body=own tokens w=1.0 b=0.75,
+    anchor=concatenated in-link anchors w=3.0 b=0.5).  Anchor tf is a
+    bag (order-insensitive), so the groupBy-flatten needs no ordering.
+    Docs with no in-links keep an empty anchor field row — per-field
+    average lengths count them."""
+    from document_retrieval_system_spark.operators.bm25f import bm25f_scores
+
+    docs = _docs(spark, sf_dir)
+    t = _tok_df(docs)
+    n = docs.count()
+    edges = _link_edges(
+        docs.select(F.col("doc_id").alias("node")), n)
+    anch = (
+        edges.join(
+            t.select(F.col("doc_id").alias("src"),
+                     F.expr(f"slice(toks, 1, {_ANCHOR_LEN})").alias("a")),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.flatten(F.collect_list("a")).alias("atoks"))
+    )
+    fields = (
+        t.select("doc_id", F.lit("body").alias("field"), "toks")
+        .unionAll(
+            t.select("doc_id").join(anch, "doc_id", "left").select(
+                "doc_id",
+                F.lit("anchor").alias("field"),
+                F.coalesce(
+                    F.col("atoks"),
+                    F.array().cast("array<string>"),
+                ).alias("toks"),
+            )
+        )
+    )
+    return (
+        bm25f_scores(fields, BM25_TERMS, _ANCHOR_W, _ANCHOR_B, k1=K1)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_search_anchor_text() -> str:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        os.path.join(_oracle_sf_dir(), "documents.parquet")
+    ).metadata.num_rows
+    return "WITH " + SQL_TOKS + f""",
+edges AS (
+  SELECT DISTINCT src, (src * 17 + j * j + 7) % {n} AS dst FROM (
+    SELECT doc_id AS src, unnest([1, 2, 3, 4]) AS j FROM documents
+  ) WHERE src % 5 >= j AND src <> (src * 17 + j * j + 7) % {n}
+),
+anch AS (
+  SELECT e.dst AS doc_id,
+         flatten(list(list_slice(t.toks, 1, {_ANCHOR_LEN}))) AS atoks
+  FROM edges e JOIN toks t ON t.doc_id = e.src
+  GROUP BY e.dst
+),
+fields AS (
+  SELECT doc_id, 'body' AS field, toks AS ftoks FROM toks
+  UNION ALL
+  SELECT t.doc_id, 'anchor' AS field,
+         coalesce(a.atoks, CAST([] AS VARCHAR[])) AS ftoks
+  FROM toks t LEFT JOIN anch a USING (doc_id)
+),
+params AS (
+  SELECT 'body' AS field, {_ANCHOR_W["body"]!r}::DOUBLE AS w,
+         {_ANCHOR_B["body"]!r}::DOUBLE AS b
+  UNION ALL
+  SELECT 'anchor', {_ANCHOR_W["anchor"]!r}::DOUBLE,
+         {_ANCHOR_B["anchor"]!r}::DOUBLE
+),
+fl AS (SELECT doc_id, field, ftoks, len(ftoks) AS flen FROM fields),
+avgf AS (SELECT field, avg(flen) AS avgfl FROM fl GROUP BY field),
+corpus AS (SELECT count(DISTINCT doc_id) AS n FROM fields),
+tf AS (SELECT doc_id, field, flen, unnest(ftoks) AS term FROM fl),
+tfc AS (
+  SELECT doc_id, field, flen, term, count(*) AS tf
+  FROM tf GROUP BY doc_id, field, flen, term
+),
+tft AS (
+  SELECT t.doc_id, t.term,
+         sum(p.w * t.tf / (1 - p.b + p.b * t.flen / a.avgfl)) AS tft
+  FROM tfc t JOIN params p USING (field) JOIN avgf a USING (field)
+  GROUP BY t.doc_id, t.term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tft GROUP BY term),
+q AS (SELECT unnest({BM25_TERMS!r}) AS term),
+scored AS (
+  SELECT t.doc_id,
+         sum( ln((corpus.n - d.df + 0.5) / (d.df + 0.5) + 1)
+              * t.tft / (t.tft + {K1}) ) AS score
+  FROM tft t JOIN q USING (term) JOIN dfreq d USING (term)
+  CROSS JOIN corpus
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -4821,6 +4932,7 @@ QUERIES = {
     "search_static_rank": (q_search_static_rank, _sql_search_static_rank),
     "i11_impact_prune": (q_i11_impact_prune, SQL_I11_PRUNE),
     "ta_host_terms": (q_ta_host_terms, SQL_TA_HOST_TERMS),
+    "search_anchor_text": (q_search_anchor_text, _sql_search_anchor_text),
     # Spark-only (rows-only driver check)
     "i10_index_fsck": (q_i10_index_fsck, None),
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),
