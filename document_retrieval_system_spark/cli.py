@@ -76,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
     f = sub.add_parser("fsck", help="audit index integrity")
     f.add_argument("--index", required=True)
 
+    h = sub.add_parser("history",
+                       help="lineage log (DESCRIBE HISTORY); optional "
+                            "totals as of a commit time")
+    h.add_argument("--index", required=True)
+    h.add_argument("--asof", default=None,
+                   help="ISO timestamp: also print index totals as of "
+                        "this commit time")
+
     args = ap.parse_args(argv)
 
     from document_retrieval_system_spark.session import get_spark
@@ -179,6 +187,20 @@ def main(argv: list[str] | None = None) -> int:
                               "violations": len(rows),
                               "clean": not rows}))
             return 0 if not rows else 1
+        elif args.cmd == "history":
+            from document_retrieval_system_spark.operators.index_build import (
+                IndexReader,
+                index_history,
+                manifest_stats_asof,
+            )
+
+            reader = IndexReader(spark, args.index)
+            index_history(reader.manifest()).show(1000, truncate=False)
+            if args.asof:
+                print(json.dumps(
+                    {"asof": args.asof,
+                     **manifest_stats_asof(reader.manifest(), args.asof)},
+                    default=str))
     finally:
         spark.stop()
     return 0

@@ -492,6 +492,40 @@ def manifest_stats(manifest: DataFrame) -> dict:
     return row.asDict()
 
 
+def index_history(manifest: DataFrame) -> DataFrame:
+    """DESCRIBE HISTORY for the index — the Iceberg/Delta snapshot-log
+    view of the append-only manifest: one row per committed event in
+    commit order, with a dense 1-based version number.  `kind` tells
+    whether the event added segments ('append') or superseded a
+    shard's history ('snapshot' — compaction, delete-rewrite,
+    stream-update)."""
+    w = Window.orderBy("committed_at", "shard", "status")
+    return (
+        manifest.select("committed_at", "kind", "status", "shard",
+                        "docs_indexed", "postings_emitted", "blocks")
+        .withColumn("version", F.row_number().over(w))
+        .select("version", "committed_at", "kind", "status", "shard",
+                "docs_indexed", "postings_emitted", "blocks")
+        .orderBy("version")
+    )
+
+
+def manifest_stats_asof(manifest: DataFrame, as_of) -> dict:
+    """Index totals AS OF a past commit time — time travel over the
+    lineage log: replaying only events with committed_at <= as_of
+    through the same snapshot-supersedes-appends reduction yields
+    exactly the totals `manifest_stats` reported when `as_of` was
+    now.  (Data files are rewritten in place by maintenance, so the
+    *rows* of old versions are not retrievable — this is stats/lineage
+    time travel, the audit question "what did the index hold before
+    yesterday's compaction", not a full Iceberg snapshot store.)
+
+    `as_of` is anything Spark can compare to a timestamp column —
+    a datetime, or an ISO string (cast below pins string inputs)."""
+    bound = F.lit(as_of).cast("timestamp")
+    return manifest_stats(manifest.filter(F.col("committed_at") <= bound))
+
+
 TARGET_DOCS_PER_SHARD = 250_000
 
 

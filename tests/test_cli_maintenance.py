@@ -51,3 +51,17 @@ def test_cli_merge_then_fsck(tmp_path):
     res = _run("fsck", "--index", merged)
     assert res.returncode == 1, res.stderr[-3000:]
     assert any("orphan_posting" in line for line in res.stdout.splitlines())
+
+
+def test_cli_history(tmp_path):
+    idx = str(tmp_path / "hist_idx")
+    res = _run("build", "--synthetic", "20", "--index", idx, "--shards", "2")
+    assert res.returncode == 0, res.stderr[-3000:]
+    res = _run("history", "--index", idx, "--asof", "2099-01-01")
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "version" in res.stdout and "append" in res.stdout
+    asof = json.loads(
+        [line for line in res.stdout.splitlines() if line.startswith("{")][-1]
+    )
+    assert asof["asof"] == "2099-01-01"
+    assert asof["postings"] > 0
