@@ -4835,6 +4835,79 @@ SELECT doc_id, round(score, 6) AS score FROM scored
 ORDER BY score DESC, doc_id LIMIT 20"""
 
 
+PASSAGE_WIDTH = 50
+
+
+def q_search_passage(spark, sf_dir):
+    """Passage retrieval (operators/proximity.py::best_passage): the
+    best idf-weighted 50-position window per document over BM25_TERMS
+    hits, computed with a RANGE-frame window (one sort per doc, no
+    pairwise self-join); window scores are 6-rounded BEFORE the
+    per-doc argmax so the pick is bit-stable across engines.  Top-10
+    docs by (score desc, doc_id)."""
+    from document_retrieval_system_spark.operators.proximity import (
+        best_passage,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tfs = _tfs_df(docs)
+    stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
+    n = _tok_df(docs).filter(F.size("toks") > 0).count()
+    idf = (
+        stats.filter(F.col("term").isin(BM25_TERMS))
+        .select(
+            "term",
+            F.round(
+                F.log((F.lit(float(n)) - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1), 6).alias("idf"),
+        )
+    )
+    pos = _pos_df(docs).filter(F.col("term").isin(BM25_TERMS)).select(
+        "doc_id", "term", "pos")
+    best = best_passage(pos, idf, width=PASSAGE_WIDTH, round_to=6)
+    return (
+        best.select(
+            "doc_id",
+            F.col("start").cast("long").alias("start"),
+            F.col("end").cast("long").alias("end"),
+            F.col("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_SEARCH_PASSAGE = "WITH " + SQL_TFS + f""",
+stats AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+corpus AS (SELECT count(*) AS n FROM toks WHERE len(toks) > 0),
+q AS (SELECT unnest({BM25_TERMS!r}) AS term),
+idf AS (
+  SELECT term,
+         round(ln((corpus.n - stats.df + 0.5) / (stats.df + 0.5) + 1), 6)
+           AS idf
+  FROM stats JOIN q USING (term) CROSS JOIN corpus
+),
+hits AS (
+  SELECT p.doc_id, p.pos, i.idf FROM pos p JOIN idf i USING (term)
+),
+win AS (
+  SELECT doc_id, pos AS start,
+         round(sum(idf) OVER (PARTITION BY doc_id ORDER BY pos
+               RANGE BETWEEN CURRENT ROW
+               AND {PASSAGE_WIDTH - 1} FOLLOWING), 6) AS score
+  FROM hits
+),
+best AS (
+  SELECT doc_id, start, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, start) AS rn
+  FROM win
+)
+SELECT doc_id, start, start + {PASSAGE_WIDTH - 1} AS "end", score
+FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -4933,6 +5006,7 @@ QUERIES = {
     "i11_impact_prune": (q_i11_impact_prune, SQL_I11_PRUNE),
     "ta_host_terms": (q_ta_host_terms, SQL_TA_HOST_TERMS),
     "search_anchor_text": (q_search_anchor_text, _sql_search_anchor_text),
+    "search_passage": (q_search_passage, SQL_SEARCH_PASSAGE),
     # Spark-only (rows-only driver check)
     "i10_index_fsck": (q_i10_index_fsck, None),
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),

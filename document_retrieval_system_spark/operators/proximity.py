@@ -48,6 +48,55 @@ def min_pair_gap(pos: DataFrame, query_terms: list[str]) -> DataFrame:
     )
 
 
+def best_passage(pos: DataFrame, term_idf: DataFrame,
+                 width: int = 50,
+                 round_to: int | None = None) -> DataFrame:
+    """Passage retrieval: per document, the best idf-weighted window of
+    `width` token positions over the query-term hits — the snippet-
+    selection / passage-ranking primitive (Callan, SIGIR 1994) behind
+    "jump to the best passage" UIs and passage-level rerankers.
+
+    A candidate window starts at each hit (the optimal window always
+    starts AT a hit); its score sums the idf of every query-term hit
+    within [start, start + width).  Per doc the winner is the highest
+    score with the smallest start as tie-break.
+
+    Shape: `pos` is pre-filtered to query terms by the caller (the same
+    rows phrase/NEAR decode), `term_idf` is O(|query|) and broadcast.
+    The window sum is a RANGE-frame window over (doc, pos) — a single
+    sort per doc partition, O(hits) via the engine's sliding frame, no
+    O(hits^2) self-join.  Output: (doc_id, start, end, score)."""
+    from pyspark.sql import Window
+
+    hits = pos.join(F.broadcast(term_idf), "term")
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rangeBetween(Window.currentRow, width - 1)
+    )
+    score = F.sum("idf").over(frame)
+    if round_to is not None:
+        # rounding BEFORE the per-doc argmax makes the winner stable to
+        # last-ulp float-sum-order differences between engines
+        score = F.round(score, round_to)
+    windows = hits.select(
+        "doc_id",
+        F.col("pos").alias("start"),
+        score.alias("score"),
+    )
+    pick = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("start"))
+    return (
+        windows.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "start",
+            (F.col("start") + width - 1).alias("end"),
+            "score",
+        )
+    )
+
+
 def proximity_boosted(base: DataFrame, gaps: DataFrame,
                       weight: float = 0.5) -> DataFrame:
     """BM25 + w/(1 + min_gap): ``base`` is (doc_id, score), ``gaps``
