@@ -4908,6 +4908,63 @@ FROM best WHERE rn = 1
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+BLOOM_M = 16384
+BLOOM_K = 3
+
+
+def q_corpus_bloom_decon(spark, sf_dir):
+    """Bloom-prefiltered decontamination (operators/curate.py::
+    bloom_decontaminate): the scale path when eval grams outgrow a raw
+    broadcast — k=3 md5-slice bit indices mod 16384, filter built
+    relationally as its set-bit-index table.  Per training doc:
+    (n_grams, bloom_hits, exact_hits); bloom_hits - exact_hits is the
+    measured false-positive count (non-zero at sf0.01 by filter
+    sizing, so the FP tier is genuinely exercised)."""
+    from document_retrieval_system_spark.operators.curate import (
+        bloom_decontaminate,
+    )
+
+    d = _docs(spark, sf_dir)
+    return bloom_decontaminate(
+        d.filter(F.col("doc_id") % DECON_EVAL_MOD != 0),
+        d.filter(F.col("doc_id") % DECON_EVAL_MOD == 0),
+        ngram=DECON_NGRAM, m_bits=BLOOM_M, k=BLOOM_K,
+    )
+
+
+SQL_CORPUS_BLOOM_DECON = "WITH " + SQL_TOKS + f""",
+dgrams AS (SELECT doc_id, unnest({_sql_grams(DECON_NGRAM)}) AS gram
+           FROM toks),
+ev AS (SELECT DISTINCT gram FROM dgrams
+       WHERE doc_id % {DECON_EVAL_MOD} = 0),
+slots AS (SELECT unnest({list(range(BLOOM_K))!r}) AS slot),
+ev_bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(gram), slot * 8 + 1, 8))::BIGINT % {BLOOM_M}
+           AS idx
+  FROM ev CROSS JOIN slots
+),
+tr_idx AS (
+  SELECT doc_id, gram,
+         ('0x' || substr(md5(gram), slot * 8 + 1, 8))::BIGINT % {BLOOM_M}
+           AS idx
+  FROM dgrams CROSS JOIN slots
+  WHERE doc_id % {DECON_EVAL_MOD} != 0
+),
+probes AS (
+  SELECT t.doc_id, t.gram,
+         min(CASE WHEN b.idx IS NOT NULL THEN 1 ELSE 0 END) AS bloom
+  FROM tr_idx t LEFT JOIN ev_bits b USING (idx)
+  GROUP BY t.doc_id, t.gram
+),
+ex AS (SELECT gram, 1 AS exact FROM ev)
+SELECT p.doc_id, count(*)::BIGINT AS n_grams,
+       sum(p.bloom)::BIGINT AS bloom_hits,
+       sum(coalesce(ex.exact, 0))::BIGINT AS exact_hits
+FROM probes p LEFT JOIN ex USING (gram)
+GROUP BY p.doc_id"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -5007,6 +5064,7 @@ QUERIES = {
     "ta_host_terms": (q_ta_host_terms, SQL_TA_HOST_TERMS),
     "search_anchor_text": (q_search_anchor_text, _sql_search_anchor_text),
     "search_passage": (q_search_passage, SQL_SEARCH_PASSAGE),
+    "corpus_bloom_decon": (q_corpus_bloom_decon, SQL_CORPUS_BLOOM_DECON),
     # Spark-only (rows-only driver check)
     "i10_index_fsck": (q_i10_index_fsck, None),
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),

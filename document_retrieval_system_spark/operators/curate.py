@@ -205,6 +205,86 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, ngram: int = 8,
     )
 
 
+def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
+                        ngram: int = 8, m_bits: int = 8192, k: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Bloom-prefiltered decontamination — the scale path when the
+    eval/benchmark side outgrows a raw gram broadcast (`decontaminate`
+    broadcasts the exploded gram list itself; at 10^8 eval grams that
+    is gigabytes, while the Bloom summary is ``m_bits`` BITS forever).
+
+    Mechanics: each eval gram sets k bit indices derived from
+    disjoint 32-bit slices of md5(gram), mod m_bits.  The filter is
+    materialized RELATIONALLY as its set-bit-index table (<= m_bits
+    rows — the bit-array and the set-of-set-bits are the same object),
+    built with one distinct aggregation, never collected to the
+    driver.  A training gram is bloom-positive iff all k of its bit
+    indices appear — identical false-positive semantics to the packed
+    bit array (collisions mod m), exact in both engines.
+
+    Output per training doc (docs with >= 1 gram):
+    (doc_id, n_grams, bloom_hits, exact_hits) — exact_hits from the
+    true gram join, so ``bloom_hits - exact_hits`` IS the measured
+    false-positive count; downstream, only bloom-positive docs need
+    the exact verify join (the two-tier shape every 100 TB filter here
+    uses).
+
+    Scale shape: eval side one explode + distinct agg into a <= m_bits
+    row table, broadcast; training side map-only against it (explode,
+    k slot probes, two small aggs) — no shuffle of training grams.
+    """
+    if not 1 <= k <= 4:
+        raise ValueError("k must be 1..4 (md5 yields four 32-bit slices)")
+    from document_retrieval_system_spark.operators.textstats import (
+        simple_tokens,
+        word_ngrams,
+    )
+
+    def grams(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(simple_tokens(F.col(text_col)), ngram)
+                )
+            ).alias("gram"),
+        )
+
+    slot = F.explode(F.expr(f"sequence(0, {k - 1})")).alias("slot")
+    idx = (
+        F.conv(F.expr("substring(md5(gram), slot * 8 + 1, 8)"), 16, 10)
+        .cast("long") % m_bits
+    ).alias("idx")
+
+    ev_bits = (
+        grams(eval_df).select("gram").distinct()
+        .select("gram", slot).select(idx).distinct()
+    )
+    ev_grams = grams(eval_df).select("gram").distinct() \
+        .withColumn("_exact", F.lit(1))
+
+    tr = grams(train)
+    probes = (
+        tr.select("doc_id", "gram", slot)
+        .select("doc_id", "gram", idx)
+        .join(F.broadcast(ev_bits.withColumn("_hit", F.lit(1))),
+              "idx", "left")
+        .groupBy("doc_id", "gram")
+        .agg(F.min(F.coalesce(F.col("_hit"), F.lit(0))).alias("_bloom"))
+    )
+    return (
+        probes.join(F.broadcast(ev_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("_bloom").cast("long").alias("bloom_hits"),
+            F.sum(F.coalesce(F.col("_exact"), F.lit(0)))
+            .cast("long").alias("exact_hits"),
+        )
+    )
+
+
 def contamination_verdicts(train: DataFrame, eval_df: DataFrame,
                            ngram: int = 8, threshold: float = 0.1,
                            id_col: str = "doc_id", text_col: str = "text",

@@ -474,3 +474,44 @@ def test_distinctive_terms_ctfidf(spark):
     w_common = (1 + math.log(3)) * math.log(1 + 2 / 2)
     assert w_common > w_beta
     assert out[("b", 1)][2] == pytest.approx(w_common, rel=1e-12)
+
+
+def test_bloom_decontaminate_superset_and_fp_accounting(spark):
+    import pytest
+
+    from document_retrieval_system_spark.operators.curate import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    mk = lambda seed, n: " ".join(words[(seed + i) % 6] for i in range(n))
+    # doc 1 duplicates an eval doc; the rest carry doc-unique grams so
+    # the tiny filter can false-positive on them
+    letter = lambda n: chr(97 + n % 26) + chr(97 + (n // 26) % 26)
+    train = spark.createDataFrame(
+        [(1, mk(1, 12))]
+        + [(i, " ".join(f"tok{letter(i)}x{letter(j)}" for j in range(12)))
+           for i in range(2, 30)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, mk(1, 12)), (101, "nu xi omicron pi rho sigma")],
+        "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in
+           bloom_decontaminate(train, ev, ngram=3, m_bits=16, k=1)
+           .collect()}
+    # Bloom NEVER misses: bloom_hits >= exact_hits on every doc
+    assert all(r["bloom_hits"] >= r["exact_hits"] for r in out.values())
+    # the identical-text pair is also visible to the exact pair operator
+    pairs = decontaminate(train, ev, ngram=3).collect()
+    assert any(p["doc_id"] == 1 and p["eval_id"] == 100 for p in pairs)
+    # doc 1 shares ALL its grams with eval doc 100 (identical text)
+    assert out[1]["exact_hits"] == out[1]["n_grams"]
+    assert out[1]["bloom_hits"] == out[1]["n_grams"]
+    # tiny m=16 filter with 1 hash slot must produce SOME false
+    # positives across 29 docs (fp tier genuinely exercised)
+    assert any(r["bloom_hits"] > r["exact_hits"] for r in out.values())
+
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_decontaminate(train, ev, k=5)
