@@ -61,7 +61,8 @@ def main() -> None:
         "percolate_queries", "sketch_heavy_hitters", "graph_triangles",
         "search_prf_rm3", "events_json_props",
         "curate_boilerplate", "r3_bm25f", "search_static_rank",
-        "i11_impact_prune", "ta_host_terms",
+        "i11_impact_prune", "ta_host_terms", "search_anchor_text",
+        "search_passage", "corpus_bloom_decon",
     ]
 
     timings: dict[str, float] = {}
