@@ -4737,7 +4737,12 @@ def q_search_anchor_text(spark, sf_dir):
     anchor=concatenated in-link anchors w=3.0 b=0.5).  Anchor tf is a
     bag (order-insensitive), so the groupBy-flatten needs no ordering.
     Docs with no in-links keep an empty anchor field row — per-field
-    average lengths count them."""
+    average lengths count them.  Web-scale contract note: in-link
+    counts are the web's heavy tail (popular pages draw 10^8 anchors);
+    the anchor agg is a map-side-combining hash groupBy, and a
+    production config additionally caps anchors kept per target (a
+    slice after a per-target window), which this deterministic graph
+    (<= 4 in-links per doc) does not need."""
     from document_retrieval_system_spark.operators.bm25f import bm25f_scores
 
     docs = _docs(spark, sf_dir)
