@@ -62,7 +62,7 @@ def main() -> None:
         "search_prf_rm3", "events_json_props",
         "curate_boilerplate", "r3_bm25f", "search_static_rank",
         "i11_impact_prune", "ta_host_terms", "search_anchor_text",
-        "search_passage", "corpus_bloom_decon",
+        "search_passage", "corpus_bloom_decon", "events_retention",
     ]
 
     timings: dict[str, float] = {}

@@ -4970,6 +4970,38 @@ FROM probes p LEFT JOIN ex USING (gram)
 GROUP BY p.doc_id"""
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/sessions.py::
+    retention_cohorts): users cohorted by ISO week of first event,
+    cells count the cohort's users active at each later week offset.
+    Offsets are exact integer div of Monday-truncated dates; no
+    countDistinct needed (activity rows pre-distinct, one cohort per
+    user).  The raw sf log is dense (every user active every week —
+    a degenerate full matrix), so the entry keeps event_id % 29 == 0:
+    ~5 events/user, yielding a genuine staggered retention triangle
+    (5 cohorts, decaying cells) at sf0.01."""
+    from document_retrieval_system_spark.operators.sessions import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(
+        _events(spark, sf_dir).filter(F.col("event_id") % 29 == 0))
+
+
+SQL_EVENTS_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk
+  FROM events WHERE event_id % 29 = 0
+),
+first AS (SELECT u, min(wk) AS cohort FROM act GROUP BY u)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', cohort::DATE, wk::DATE) // 7)::BIGINT
+         AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM act JOIN first USING (u)
+GROUP BY 1, 2"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -5070,6 +5102,7 @@ QUERIES = {
     "search_anchor_text": (q_search_anchor_text, _sql_search_anchor_text),
     "search_passage": (q_search_passage, SQL_SEARCH_PASSAGE),
     "corpus_bloom_decon": (q_corpus_bloom_decon, SQL_CORPUS_BLOOM_DECON),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     # Spark-only (rows-only driver check)
     "i10_index_fsck": (q_i10_index_fsck, None),
     "ta_bpe_tokens": (q_ta_bpe_tokens, None),

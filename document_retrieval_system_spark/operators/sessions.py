@@ -183,6 +183,39 @@ def funnel_counts(events: DataFrame, steps, gap_us: int,
     )
 
 
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    are cohorted by the ISO week of their FIRST event; each cell
+    (cohort_week, week_offset) counts the cohort's users active in
+    that later week.
+
+    Exactness discipline: both the cohort and the activity timestamp
+    truncate to Monday week starts, so the offset is an EXACT integer
+    (datediff is a multiple of 7 by construction — integer div, no
+    float date math).  n_users needs no countDistinct: the activity
+    rows are pre-distinct on (user, week) and a user has exactly one
+    cohort, so count(*) per cell is the distinct user count.
+
+    Scale shape: one distinct on (user, week) — the only corpus-sized
+    shuffle, map-side-combining; the per-user cohort table joins on
+    the user key it was grouped by; the final cell agg is tiny
+    (weeks x offsets)."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    act = events.select(F.col(user_col).alias("u"),
+                        wk.alias("wk")).distinct()
+    first = act.groupBy("u").agg(F.min("wk").alias("cohort"))
+    return (
+        act.join(first, "u")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(wk, cohort) div 7").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 def group_quantiles(df: DataFrame, group_col: str, value_col: str,
                     qs=(0.5, 0.95, 0.99)) -> DataFrame:
     """Exact per-group quantiles by the nearest-rank definition: the

@@ -256,3 +256,29 @@ def test_anomaly_buckets_planted_spike_and_trough(spark):
     bks = {r["bucket"]: r["n_events"]
            for r in resample_counts(neg, W).collect()}
     assert bks == {-1: 2}
+
+
+def test_retention_cohorts_hand_log(spark):
+    from datetime import datetime
+
+    from document_retrieval_system_spark.operators.sessions import (
+        retention_cohorts,
+    )
+
+    d = datetime
+    rows = [
+        # user 1: joins week of Jan 6 (Mon), active weeks 0, 1, 3
+        (1, d(2025, 1, 7)), (1, d(2025, 1, 14)), (1, d(2025, 1, 29)),
+        # user 2: same cohort, active week 0 only (twice in one week —
+        # the distinct must count it once)
+        (2, d(2025, 1, 8)), (2, d(2025, 1, 9)),
+        # user 3: next cohort, weeks 0 and 1
+        (3, d(2025, 1, 14)), (3, d(2025, 1, 20)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(ev).collect()}
+    assert got == {
+        ("2025-01-06", 0): 2, ("2025-01-06", 1): 1, ("2025-01-06", 3): 1,
+        ("2025-01-13", 0): 1, ("2025-01-13", 1): 1,
+    }
