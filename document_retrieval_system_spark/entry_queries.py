@@ -5002,6 +5002,43 @@ FROM act JOIN first USING (u)
 GROUP BY 1, 2"""
 
 
+SUBSTRING_PATTERN = "data stream"
+
+
+def _ensure_trigram_index(spark, sf_dir: str) -> str:
+    from document_retrieval_system_spark.operators import substring as sub
+
+    idx = _entry_cache_dir("tgm", sf_dir, "documents.parquet")
+    if not os.path.exists(idx):
+        tmp = f"{idx}.tmp-{os.getpid()}"
+        sub.build_trigram_index(_docs(spark, sf_dir), tmp)
+        _publish_cache_dir(tmp, idx)
+    return idx
+
+
+def q_search_substring(spark, sf_dir):
+    """Trigram-indexed substring search (operators/substring.py, the
+    Code-Search/pg_trgm design): candidates = docs containing EVERY
+    character trigram of the pattern, read from a bucket-partitioned
+    trigram index (partition pruning + pushed In filter), then an
+    exact contains + occurrence count on candidates only.  The oracle
+    is the full-scan LIKE the index exists to avoid — identical
+    output, opposite cost shape."""
+    from document_retrieval_system_spark.operators import substring as sub
+
+    idx = _ensure_trigram_index(spark, sf_dir)
+    return sub.substring_search(
+        spark, idx, _docs(spark, sf_dir), SUBSTRING_PATTERN)
+
+
+SQL_SEARCH_SUBSTRING = f"""\
+SELECT doc_id,
+       ((length(text) - length(replace(text, '{SUBSTRING_PATTERN}', '')))
+        // {len(SUBSTRING_PATTERN)})::BIGINT AS n_occ
+FROM documents
+WHERE contains(text, '{SUBSTRING_PATTERN}')"""
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -5082,6 +5119,7 @@ QUERIES = {
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
     "b8_prefix_search": (q_b8_prefix_search, SQL_B8_PREFIX),
     "b8_completions": (q_b8_completions, SQL_B8_COMPLETIONS),
+    "search_substring": (q_search_substring, SQL_SEARCH_SUBSTRING),
     "r3_bm25_proximity": (q_r3_bm25_proximity, SQL_R3_PROXIMITY),
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
     "search_diversified": (q_search_diversified, SQL_SEARCH_DIVERSIFIED),
