@@ -5002,6 +5002,55 @@ FROM act JOIN first USING (u)
 GROUP BY 1, 2"""
 
 
+_BFS_SEED_MOD = 97
+_BFS_MAX_DEPTH = 6
+
+
+def q_graph_bfs_depth(spark, sf_dir):
+    """Crawl-frontier depth labeling (operators/linkgraph.py::
+    bfs_depths): minimum hop distance from the seed set (doc_id %
+    97 == 0) over the dense deterministic link graph, capped at 6
+    hops.  The oracle is a DuckDB recursive CTE with UNION (distinct)
+    recursion — (node, depth) pairs are bounded by V x depth, and the
+    first arrival at a node is always produced, so min(depth) is
+    exact; an independent algorithm (semi-naive datalog vs
+    level-synchronous frontier BFS)."""
+    from document_retrieval_system_spark.operators.linkgraph import (
+        bfs_depths,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    n = docs.count()
+    seeds = docs.filter(F.col("node") % _BFS_SEED_MOD == 0)
+    return bfs_depths(_tri_edges(docs, n), seeds,
+                      max_depth=_BFS_MAX_DEPTH).select(
+        F.col("node").alias("doc_id"), "depth")
+
+
+def _sql_graph_bfs() -> str:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        os.path.join(_oracle_sf_dir(), "documents.parquet")
+    ).metadata.num_rows
+    return f"""\
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, (src + j * j) % {n} AS dst FROM (
+    SELECT doc_id AS src, unnest([1, 2, 3, 4, 5, 6, 7]) AS j
+    FROM documents
+  ) WHERE src % 8 >= j AND src <> (src + j * j) % {n}
+),
+walk(node, depth) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < {_BFS_MAX_DEPTH}
+)
+SELECT node AS doc_id, min(depth)::INT AS depth
+FROM walk GROUP BY node"""
+
+
 SUBSTRING_PATTERN = "data stream"
 
 
@@ -5113,6 +5162,7 @@ QUERIES = {
     "search_eval": (q_search_eval, SQL_SEARCH_EVAL),
     "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "graph_bfs_depth": (q_graph_bfs_depth, _sql_graph_bfs),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "ta_zipf": (q_ta_zipf, SQL_TA_ZIPF),

@@ -145,3 +145,53 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame,
+               max_depth: int = 8) -> DataFrame:
+    """Minimum hop distance from a seed set — crawl-frontier depth
+    labeling (the breadth-first schedule every polite crawler runs:
+    seeds are depth 0, pages they link to depth 1, ...).  Curation
+    uses the label directly: distance-from-seed is a standard quality
+    prior (Common Crawl's harmonic-centrality seeds, OPIC scheduling),
+    and capping crawl depth bounds spider traps.
+
+    `edges` ("src", "dst") is followed in direction src -> dst;
+    `seeds` needs a "node" column.  Returns (node, depth) for every
+    node reachable within `max_depth` hops, depth = MINIMUM hop count
+    (seeds themselves at 0, even if also reachable later).  Unreachable
+    nodes are absent — callers wanting a row per node left-join this.
+
+    Scale shape: textbook distributed BFS — one (frontier join edges)
+    shuffle + one anti-join against the visited set per level, both on
+    the src/node key; the frontier is the only growing state and each
+    node enters it at most once, so total work is O(E + V) across all
+    levels (every edge relaxed exactly once from its head's first
+    discovery).  Lineage is localCheckpoint-bounded per level (same
+    pattern as pagerank above), the per-level isEmpty early-exit is an
+    O(frontier) driver probe, and a hub with 10^6 in-links partial-
+    aggregates to one frontier row map-side via the distinct.
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    edges = edges.select("src", "dst").localCheckpoint()
+    visited = (
+        seeds.select("node").distinct()
+        .withColumn("depth", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(edges["dst"].alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

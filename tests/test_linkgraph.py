@@ -117,3 +117,75 @@ def test_triangle_stats_bruteforce(spark):
     assert row["n_wedges"] == wed
     assert row["n_triangles"] == tri
     assert row["global_clustering"] == round(3.0 * tri / wed, 6)
+
+
+def _reference_bfs(edges, seeds, max_depth):
+    """Level-synchronous BFS on plain dicts."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    depth = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for lvl in range(1, max_depth + 1):
+        nxt = set()
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in depth:
+                    depth[w] = lvl
+                    nxt.add(w)
+        if not nxt:
+            break
+        frontier = nxt
+    return depth
+
+
+def _run_bfs(spark, edges, seeds, max_depth=8):
+    from document_retrieval_system_spark.operators.linkgraph import bfs_depths
+
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.filter("src < 0")
+    s = spark.createDataFrame([(v,) for v in seeds], "node long")
+    got = bfs_depths(e, s, max_depth=max_depth)
+    return {r["node"]: r["depth"] for r in got.collect()}
+
+
+def test_bfs_matches_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(13)
+    n = 60
+    edges = sorted({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(150) if True})
+    edges = [(s, d) for s, d in edges if s != d]
+    seeds = [0, 7, 31]
+    for max_depth in (0, 1, 3, 8):
+        assert _run_bfs(spark, edges, seeds, max_depth) == \
+            _reference_bfs(edges, seeds, max_depth)
+
+
+def test_bfs_min_depth_wins_on_diamond(spark):
+    # 0->1->3 and 0->3: node 3 must be depth 1, not 2
+    edges = [(0, 1), (1, 3), (0, 3), (3, 4)]
+    got = _run_bfs(spark, edges, [0])
+    assert got == {0: 0, 1: 1, 3: 1, 4: 2}
+
+
+def test_bfs_cycle_terminates_and_seed_stays_zero(spark):
+    # ring: a seed reachable from the ring keeps depth 0
+    edges = [(0, 1), (1, 2), (2, 0)]
+    got = _run_bfs(spark, edges, [0], max_depth=10)
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_unreachable_absent_and_duplicate_seeds(spark):
+    edges = [(0, 1)]
+    got = _run_bfs(spark, edges, [0, 0])
+    assert got == {0: 0, 1: 1}  # node 5 etc. absent
+
+
+def test_bfs_max_depth_validation(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _run_bfs(spark, [(0, 1)], [0], max_depth=-1)
