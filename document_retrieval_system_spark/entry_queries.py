@@ -5002,6 +5002,36 @@ FROM act JOIN first USING (u)
 GROUP BY 1, 2"""
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical-doc election per duplicate cluster (operators/
+    curate.py::canonical_per_cluster): the LSH/Jaccard connected
+    components joined with the heuristic quality score; highest
+    quality (doc_id tie-break) keeps, the rest drop.  This is the
+    decision a curation pipeline ships — WHICH doc survives dedup,
+    not just which docs are duplicates."""
+    from document_retrieval_system_spark.operators.curate import (
+        canonical_per_cluster,
+        duplicate_clusters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    clusters = duplicate_clusters(
+        docs, ngram=3, threshold=0.6,
+        n_hashes=16, band_size=2, bucket_cap=BUCKET_CAP,
+    )
+    return canonical_per_cluster(
+        clusters, textstats.quality_score(docs))
+
+
+SQL_DEDUP_CANONICAL = f"""\
+WITH clusters AS ({SQL_DEDUP_CLUSTERS}),
+q AS ({SQL_TA_QUALITY})
+SELECT c.doc_id, c.cluster_id, q.quality,
+       (row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY q.quality DESC, c.doc_id) = 1) AS keep
+FROM clusters c JOIN q USING (doc_id)"""
+
+
 _BFS_SEED_MOD = 97
 _BFS_MAX_DEPTH = 6
 
@@ -5124,6 +5154,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "dedup_winnow": (q_dedup_winnow, SQL_DEDUP_WINNOW),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "dedup_span_removal": (q_dedup_span_removal, SQL_DEDUP_SPAN_REMOVAL),

@@ -419,3 +419,35 @@ def domain_cap_sample(df: DataFrame, max_per_domain: int,
         .filter(F.col("domain_rank") <= F.lit(max_per_domain))
         .select(id_col, "domain", "domain_rank")
     )
+
+
+def canonical_per_cluster(clusters: DataFrame, quality: DataFrame,
+                          id_col: str = "doc_id",
+                          cluster_col: str = "cluster_id",
+                          quality_col: str = "quality") -> DataFrame:
+    """The dedup DECISION layer: for every duplicate cluster, elect the
+    single canonical member a pipeline keeps — highest quality score,
+    ties broken by lowest id (deterministic across engines and
+    partitionings; `quality_col` must already be rounded to a stable
+    precision, as textstats.quality_score's 4-decimal output is).
+
+    `clusters` is (id, cluster_id) — e.g. duplicate_clusters output —
+    and `quality` is (id, quality).  Returns (id, cluster_id, quality,
+    keep): one row per clustered doc, exactly one keep=true per
+    cluster.  Docs in no cluster never reach this operator and are
+    kept implicitly.
+
+    Scale shape: one equi-join on the doc id and one window over
+    cluster_id.  Near-dup clusters are tiny (star/clique components of
+    a handful of members), so the window partition is never hot even
+    when one boilerplate template produces millions of CLUSTERS — the
+    skew lives across clusters, not inside one.
+    """
+    j = clusters.join(quality.select(F.col(id_col), F.col(quality_col)),
+                      id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc())
+    return j.select(
+        id_col, cluster_col, quality_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

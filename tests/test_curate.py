@@ -515,3 +515,48 @@ def test_bloom_decontaminate_superset_and_fp_accounting(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         bloom_decontaminate(train, ev, k=5)
+
+
+def test_canonical_per_cluster_elects_one_keeper(spark):
+    from document_retrieval_system_spark.operators.curate import (
+        canonical_per_cluster,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        # cluster 1: doc 2 wins on quality; cluster 7: tie -> doc 7 wins
+        [(1, 0.5), (2, 0.9), (3, 0.7), (7, 0.6), (9, 0.6)],
+        "doc_id long, quality double",
+    )
+    rows = {r.doc_id: (r.cluster_id, r.keep)
+            for r in canonical_per_cluster(clusters, quality).collect()}
+    assert rows == {1: (1, False), 2: (1, True), 3: (1, False),
+                    7: (7, True), 9: (7, False)}
+
+
+def test_canonical_exactly_one_keep_per_cluster(spark):
+    import random
+
+    from document_retrieval_system_spark.operators.curate import (
+        canonical_per_cluster,
+    )
+
+    rng = random.Random(5)
+    clusters = [(i, i % 13) for i in range(80)]
+    quality = [(i, round(rng.random(), 4)) for i in range(80)]
+    out = canonical_per_cluster(
+        spark.createDataFrame(clusters, "doc_id long, cluster_id long"),
+        spark.createDataFrame(quality, "doc_id long, quality double"),
+    ).collect()
+    assert len(out) == 80
+    per = {}
+    for r in out:
+        per.setdefault(r.cluster_id, []).append(r)
+    for cid, members in per.items():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1
+        best = max(members, key=lambda r: (r.quality, -r.doc_id))
+        assert keeps[0].doc_id == best.doc_id
