@@ -63,7 +63,7 @@ def main() -> None:
         "curate_boilerplate", "r3_bm25f", "search_static_rank",
         "i11_impact_prune", "ta_host_terms", "search_anchor_text",
         "search_passage", "corpus_bloom_decon", "events_retention",
-        "search_substring", "graph_bfs_depth", "dedup_canonical",
+        "search_substring", "search_regex", "graph_bfs_depth", "dedup_canonical",
     ]
 
     timings: dict[str, float] = {}

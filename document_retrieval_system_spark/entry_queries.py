@@ -5118,6 +5118,37 @@ FROM documents
 WHERE contains(text, '{SUBSTRING_PATTERN}')"""
 
 
+REGEX_PATTERN = "data stream|hash join|slow scan"
+
+
+def q_search_regex(spark, sf_dir):
+    """Literal-alternation regex search through the trigram index
+    (operators/substring.py::regex_search — Cox 2012's OR-of-AND
+    trigram query algebra): candidates satisfy SOME alternative's AND
+    over its own trigrams, read in ONE pruned index scan against a
+    broadcast requirements table; exact verify + summed per-alternative
+    occurrence counts on candidates only.  The oracle is the full-scan
+    OR-of-contains the index exists to avoid."""
+    from document_retrieval_system_spark.operators import substring as sub
+
+    idx = _ensure_trigram_index(spark, sf_dir)
+    return sub.regex_search(spark, idx, _docs(spark, sf_dir), REGEX_PATTERN)
+
+
+def _sql_search_regex() -> str:
+    lits = REGEX_PATTERN.split("|")
+    occ = " + ".join(
+        f"((length(text) - length(replace(text, '{p}', ''))) // {len(p)})"
+        for p in lits
+    )
+    anyhit = " OR ".join(f"contains(text, '{p}')" for p in lits)
+    return (f"SELECT doc_id, ({occ})::BIGINT AS n_occ\n"
+            f"FROM documents\nWHERE {anyhit}")
+
+
+SQL_SEARCH_REGEX = _sql_search_regex()
+
+
 QUERIES = {
     "i1_doc_term_stats": (q_i1_doc_term_stats, SQL_I1),
     "i3_term_stats": (q_i3_term_stats, SQL_I3),
@@ -5201,6 +5232,7 @@ QUERIES = {
     "b8_prefix_search": (q_b8_prefix_search, SQL_B8_PREFIX),
     "b8_completions": (q_b8_completions, SQL_B8_COMPLETIONS),
     "search_substring": (q_search_substring, SQL_SEARCH_SUBSTRING),
+    "search_regex": (q_search_regex, SQL_SEARCH_REGEX),
     "r3_bm25_proximity": (q_r3_bm25_proximity, SQL_R3_PROXIMITY),
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
     "search_diversified": (q_search_diversified, SQL_SEARCH_DIVERSIFIED),

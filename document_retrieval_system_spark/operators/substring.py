@@ -163,3 +163,108 @@ def substring_scan(docs: DataFrame, pattern: str, id_col: str = "doc_id",
     if not pattern:
         raise ValueError("empty pattern")
     return _verify(docs, pattern, id_col, text_col)
+
+
+# ---------------------------------------------------------------------------
+# Regex search over the trigram index (the Code Search query algebra)
+#
+# Cox 2012's central result: any regular expression compiles to a boolean
+# trigram query in OR-of-AND form — alternation becomes OR, concatenation
+# becomes AND over the literals' trigrams — and the docs satisfying that
+# query are a complete candidate superset for the regex.  The functions
+# below implement the alternation-of-literals class (`lit1|lit2|...`),
+# which IS that normal form's leaf shape: each alternative contributes an
+# AND over its own trigrams, the pattern matches where any alternative's
+# AND holds.  Metacharacter literals are rejected rather than escaped so
+# the operator never silently depends on one engine's regex dialect.
+
+_META = set("\\.^$*+?()[]{}")
+
+
+def alternation_literals(pattern: str) -> list[str]:
+    """Parse a top-level alternation of plain literals, e.g.
+    ``"data stream|hash join"`` -> ``["data stream", "hash join"]``.
+
+    Each alternative must be >= 3 chars (the index cannot bound shorter
+    ones — route those through substring_scan) and metacharacter-free
+    (this operator's contract is the literal-alternation class, not a
+    regex dialect).  Duplicates collapse; order is input order.
+    """
+    seen: dict[str, None] = {}
+    for part in pattern.split("|"):
+        if len(part) < 3:
+            raise ValueError(
+                f"alternative {part!r} shorter than 3 chars — the trigram "
+                "index cannot bound it; use substring_scan"
+            )
+        bad = sorted(set(part) & _META)
+        if bad:
+            raise ValueError(
+                f"alternative {part!r} contains regex metacharacters "
+                f"{bad}; only literal alternation is supported"
+            )
+        seen.setdefault(part)
+    return list(seen)
+
+
+def regex_candidates(spark: SparkSession, index_path: str,
+                     literals: list[str]) -> DataFrame:
+    """Docs satisfying the OR-of-AND trigram query: for SOME literal,
+    the doc contains EVERY one of that literal's trigrams.  One pruned
+    index scan (bucket + trigram pushdown over the UNION of all
+    literals' trigrams), one broadcast join against the tiny
+    requirements table, one (doc, alternative) count — never a scan per
+    alternative."""
+    with open(os.path.join(index_path, "_N_BUCKETS")) as fh:
+        n_buckets = int(fh.read())
+    req_rows = []
+    for i, lit in enumerate(literals):
+        for tg in pattern_trigrams(lit):
+            req_rows.append((i, tg))
+    n_req = {}
+    for i, _ in req_rows:
+        n_req[i] = n_req.get(i, 0) + 1
+    all_tgs = sorted({tg for _, tg in req_rows})
+    buckets = sorted({bucket_of(t, n_buckets) for t in all_tgs})
+    req = spark.createDataFrame(req_rows, "alt int, tg string")
+    need = spark.createDataFrame(
+        [(i, n) for i, n in n_req.items()], "alt int, n_req int")
+    idx = spark.read.parquet(index_path)
+    return (
+        idx.filter(F.col("bucket").isin(buckets) & F.col("tg").isin(all_tgs))
+        .join(F.broadcast(req), "tg")
+        .groupBy("doc_id", "alt")
+        .agg(F.count_distinct("tg").alias("_n"))
+        .join(F.broadcast(need), "alt")
+        .filter(F.col("_n") == F.col("n_req"))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def regex_search(spark: SparkSession, index_path: str, docs: DataFrame,
+                 pattern: str, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Literal-alternation regex search through the trigram index ->
+    (id, n_occ): candidates from the OR-of-AND trigram query, then an
+    exact verify on candidates only.  ``n_occ`` is the SUM over
+    alternatives of their non-overlapping occurrence counts (the
+    replace-count used by substring_search) — deterministic and
+    engine-portable, unlike leftmost-first regex counting when
+    alternatives overlap in the text."""
+    lits = alternation_literals(pattern)
+    cand = regex_candidates(spark, index_path, lits)
+    hits = docs.join(F.broadcast(cand), id_col, "left_semi")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per_lit = [
+        ((F.length(t) - F.length(F.replace(t, F.lit(lit))))
+         / F.lit(len(lit))).cast("long")
+        for lit in lits
+    ]
+    total = per_lit[0]
+    for e in per_lit[1:]:
+        total = total + e
+    return (
+        hits.select(F.col(id_col), total.alias("n_occ"))
+        .filter(F.col("n_occ") > 0)
+    )

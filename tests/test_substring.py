@@ -112,3 +112,77 @@ def test_pattern_trigrams():
     assert pattern_trigrams("abcd") == ["abc", "bcd"]
     assert pattern_trigrams("aaaa") == ["aaa"]
     assert pattern_trigrams("abc") == ["abc"]
+
+
+# --- regex (literal alternation) search -----------------------------------
+
+from document_retrieval_system_spark.operators.substring import (  # noqa: E402
+    alternation_literals,
+    regex_candidates,
+    regex_search,
+)
+
+
+def test_alternation_parse():
+    assert alternation_literals("abc|def ghi") == ["abc", "def ghi"]
+    assert alternation_literals("abc|abc|xyz") == ["abc", "xyz"]  # dedup
+    with pytest.raises(ValueError):
+        alternation_literals("ab|cde")          # alternative < 3 chars
+    with pytest.raises(ValueError):
+        alternation_literals("abc|d.f")         # metacharacter
+    with pytest.raises(ValueError):
+        alternation_literals("abc||def")        # empty alternative
+
+
+def _brute_regex(docs, lits):
+    out = {}
+    for r in docs.collect():
+        t = r.text or ""
+        n = sum(t.count(p) for p in lits)
+        if any(p in t for p in lits):
+            out[r.doc_id] = n
+    return out
+
+
+@pytest.mark.parametrize("pattern", [
+    "data stream|quick brown",     # disjoint alternatives
+    "data|ata",                    # overlapping alternatives (sum contract)
+    "zzz|yyy",                     # no matches
+    "a%b_c|data",                  # metachar-free literal with % _
+])
+def test_regex_matches_brute_force(idx, spark, pattern):
+    docs, path = idx
+    lits = alternation_literals(pattern)
+    got = {r.doc_id: r.n_occ
+           for r in regex_search(spark, path, docs, pattern).collect()}
+    assert got == _brute_regex(docs, lits)
+
+
+def test_regex_equals_union_of_single_searches(idx, spark):
+    docs, path = idx
+    pattern = "data stream|quick brown|datadata"
+    got = {r.doc_id: r.n_occ
+           for r in regex_search(spark, path, docs, pattern).collect()}
+    want = {}
+    for lit in alternation_literals(pattern):
+        for r in substring_search(spark, path, docs, lit).collect():
+            want[r.doc_id] = want.get(r.doc_id, 0) + r.n_occ
+    assert got == want
+
+
+def test_regex_candidates_superset_and_false_positive_filtered(
+        idx, spark, tmp_path):
+    # "abcde"'s trigrams {abc, bcd, cde} all appear in "abcd cdex"
+    # without the substring itself: the index must surface doc 1 as a
+    # candidate (AND over trigrams holds) and the verify must drop it.
+    docs = spark.createDataFrame(
+        [(0, "xx abcde yy"), (1, "abcd cdex"), (2, "nothing here")],
+        "doc_id long, text string")
+    path = str(tmp_path / "tg")
+    build_trigram_index(docs, path, n_buckets=8)
+    cand = {r.doc_id for r in
+            regex_candidates(spark, path, ["abcde"]).collect()}
+    assert cand == {0, 1}
+    hits = {r.doc_id for r in
+            regex_search(spark, path, docs, "abcde|nothing").collect()}
+    assert hits == {0, 2}
