@@ -1854,6 +1854,64 @@ SELECT n::BIGINT AS n_terms,
 FROM s"""
 
 
+def q_ta_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (operators/textstats.py::
+    heaps_fit): ln V(n) vs ln n least squares over power-of-two
+    checkpoints, V(n) = distinct terms in the first n docs (id order).
+    beta forecasts dictionary / term-stats size at 100x the corpus —
+    the companion to ta_zipf's posting-skew forecast.  The checkpoint
+    evaluation is one first-seen min-agg + a <=40-element array filter
+    per term (map-side) + a tiny groupBy: no per-doc cumsum window at
+    any scale."""
+    from document_retrieval_system_spark.operators.textstats import heaps_fit
+
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            textstats.simple_tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("term"),
+    ).distinct()
+    return heaps_fit(pairs)
+
+
+_HEAPS_CKS = ", ".join(str(2 ** k) for k in range(40))
+
+SQL_TA_HEAPS = "WITH " + SQL_TOKS + f""",
+pairs AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks
+),
+ords AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS n
+  FROM (SELECT DISTINCT doc_id FROM pairs)
+),
+firstn AS (
+  SELECT term, min(n) AS fn
+  FROM pairs JOIN ords USING (doc_id) GROUP BY term
+),
+nd AS (SELECT max(n) AS nd, count(*) AS n_docs FROM ords),
+growth AS (
+  SELECT ck, count(*)::DOUBLE AS v
+  FROM (SELECT unnest([{_HEAPS_CKS}]) AS ck), firstn, nd
+  WHERE ck <= nd.nd AND firstn.fn <= ck
+  GROUP BY ck
+),
+xy AS (SELECT ln(ck::DOUBLE) AS x, ln(v) AS y FROM growth),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy
+)
+SELECT (SELECT n_docs FROM nd)::BIGINT AS n_docs,
+       (SELECT count(*) FROM firstn)::BIGINT AS vocab,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS ln_k,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s"""
+
+
 _FUNNEL_GAP_US = 24 * 3600 * 1_000_000
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
@@ -5228,6 +5286,7 @@ QUERIES = {
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "ta_zipf": (q_ta_zipf, SQL_TA_ZIPF),
+    "ta_heaps": (q_ta_heaps, SQL_TA_HEAPS),
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
     "b8_prefix_search": (q_b8_prefix_search, SQL_B8_PREFIX),
     "b8_completions": (q_b8_completions, SQL_B8_COMPLETIONS),

@@ -544,3 +544,79 @@ def zipf_fit(term_freqs: DataFrame, term_col: str = "term",
         .alias("intercept"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"),
     )
+
+
+def heaps_fit(doc_terms: DataFrame, id_col: str = "doc_id",
+              term_col: str = "term", max_log2: int = 40) -> DataFrame:
+    """Heaps'-law vocabulary-growth diagnostic: least-squares fit of
+    ``ln V(n) = ln K + beta * ln n`` where V(n) is the number of
+    distinct terms seen in the first n documents (id-ordered).
+
+    Natural text fits beta ~ 0.4-0.6 (Heaps' law); template/spam farms
+    saturate early (low beta) and OCR noise or id-soup inflate it
+    toward 1.  The fitted curve forecasts vocabulary — and therefore
+    term-dictionary and term-stats size — at 100x the corpus, the
+    companion number to zipf_fit's posting-skew forecast.
+
+    V(n) is evaluated at power-of-two checkpoints only (log-spaced =
+    uniform in regression x), so the fit input is <= max_log2 rows at
+    ANY corpus size: per term, one first-seen min-aggregate, then each
+    term contributes a row to every checkpoint >= its first ordinal via
+    an array-literal filter + explode (<= 40 rows/term, map-side), one
+    tiny groupBy.  No per-document running cumsum, no corpus-sized
+    window.  Doc ordinals here come from a row_number for self-
+    containment; at build scale, reuse the index's URL-ordered ordinal
+    assignment (operators/index_build.py — the same two-shuffle
+    machinery) as the `n` input.
+
+    Output: one row (n_docs, vocab, beta, ln_k, r2), rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    docs = doc_terms.select(id_col).distinct()
+    wd = Window.orderBy(F.col(id_col).asc())
+    ords = docs.select(F.col(id_col), F.row_number().over(wd).alias("n"))
+    first = (
+        doc_terms.join(ords, id_col)
+        .groupBy(term_col)
+        .agg(F.min("n").alias("fn"))
+    )
+    cks = F.array(*[F.lit(2 ** k) for k in range(max_log2)])
+    growth = (
+        first.select(
+            F.explode(
+                F.filter(cks, lambda c: c >= F.col("fn"))
+            ).alias("ck")
+        )
+        .groupBy("ck")
+        .agg(F.count("*").cast("double").alias("v"))
+        .join(
+            ords.agg(F.max("n").alias("nd"), F.count("*").alias("n_docs")),
+            F.col("ck") <= F.col("nd"),
+        )
+    )
+    xy = growth.select(
+        "n_docs",
+        F.log(F.col("ck").cast("double")).alias("x"),
+        F.log(F.col("v")).alias("y"),
+    )
+    s = xy.agg(
+        F.max("n_docs").alias("n_docs"),
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vocab = first.agg(F.count("*").alias("vocab"))
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.crossJoin(vocab).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(cov / varx, 6).alias("beta"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 6)
+        .alias("ln_k"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

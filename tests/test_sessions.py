@@ -213,6 +213,31 @@ def test_zipf_fit_recovers_planted_slope(spark):
     assert g2["slope"] == 0.0  # constant frequency: flat curve
 
 
+def test_heaps_fit_recovers_planted_growth(spark):
+    """A corpus where every doc introduces exactly m brand-new terms has
+    V(n) = m*n — an exact Heaps law with beta == 1; a fixed shared
+    vocabulary saturates immediately: beta == 0."""
+    from document_retrieval_system_spark.operators.textstats import heaps_fit
+
+    m = 5
+    rows = [(d, f"t{d:03d}_{j}") for d in range(16) for j in range(m)]
+    df = spark.createDataFrame(rows, "doc_id long, term string")
+    [got] = heaps_fit(df).collect()
+    assert got["n_docs"] == 16
+    assert got["vocab"] == 16 * m
+    assert got["beta"] == 1.0          # exact fit: ln V = ln m + 1 * ln n
+    assert got["r2"] == 1.0
+    import math
+    assert abs(got["ln_k"] - math.log(m)) < 1e-6
+
+    flat = spark.createDataFrame(
+        [(d, t) for d in range(16) for t in ("aa", "bb", "cc")],
+        "doc_id long, term string")
+    [g2] = heaps_fit(flat).collect()
+    assert g2["vocab"] == 3
+    assert g2["beta"] == 0.0           # vocabulary saturates at doc 1
+
+
 def test_anomaly_buckets_planted_spike_and_trough(spark):
     """A flat signal with one planted spike and one dead (gap) hour:
     exactly those two buckets are flagged, zeros included via the dense

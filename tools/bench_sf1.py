@@ -175,7 +175,7 @@ SUITE = [
     "fuzzy_terms", "fuzzy_search", "events_asof", "events_range",
     "events_sessionize", "events_rollup", "events_resample",
     "sketch_distinct", "search_eval", "graph_pagerank",
-    "events_funnel", "events_quantiles", "ta_zipf",
+    "events_funnel", "events_quantiles", "ta_zipf", "ta_heaps",
     "u2_boost_rescore", "e2e_search_pipeline", "e2e_curation_pipeline",
     "mlt_search", "ta_cooccur_pmi", "b8_completions", "ta_lm_perplexity",
     "corpus_domain_cap", "r3_bm25_proximity", "search_facets",
