@@ -75,16 +75,52 @@ bm25 AS (
 # Spark-side shared builders
 # ---------------------------------------------------------------------------
 
+_SCAN_SPLITS: dict[tuple[str, int], int] = {}
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scan-parallelism guard (guide §2.5 "input skew"): the driver's
+    testdata ships ONE parquet row group per table, so the scan — and
+    every map stage whole-stage-fused onto it (tokenize, explode,
+    digest) — would run on a single core no matter how many the session
+    has.  When the source offers fewer splits than the session's
+    parallelism, one cheap round-robin exchange of the raw rows buys
+    full-width execution for everything downstream; on real multi-split
+    inputs (any production table) this is a no-op.  The split count is
+    memoized per (path, parallelism) so repeated builders don't re-plan
+    the scan."""
+    n = spark.sparkContext.defaultParallelism
+    key = (path, n)
+    if key not in _SCAN_SPLITS:
+        _SCAN_SPLITS[key] = df.rdd.getNumPartitions()
+    if _SCAN_SPLITS[key] < n:
+        # The always-true non-deterministic guard is a predicate-pushdown
+        # BARRIER: without it, any later filter on a text-derived
+        # expression (size(tokenize(text)) > 0, sampling keys, ...)
+        # slides below this exchange and evaluates its whole expression
+        # tree on the single-split scan — serializing exactly the work
+        # the repartition exists to parallelize.  monotonically_
+        # increasing_id() is non-negative by construction, so the filter
+        # keeps every row; it merely cannot be reordered.  The barrier
+        # only exists on degenerate single-split sources, so parquet
+        # predicate pushdown on real multi-split tables is untouched.
+        return df.repartition(n).where(F.monotonically_increasing_id() >= 0)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = os.path.join(sf_dir, "documents.parquet")
+    return _spread(spark, spark.read.parquet(p), p)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    return _spread(spark, spark.read.parquet(p), p)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p = os.path.join(sf_dir, "events.parquet")
+    return _spread(spark, spark.read.parquet(p), p)
 
 
 def _tok_df(docs: DataFrame) -> DataFrame:
@@ -106,6 +142,37 @@ def _tfs_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def _corpus_nd(docs: DataFrame) -> DataFrame:
+    """Corpus constants (n docs with tokens, avgdl) as ONE conditional
+    aggregation.  The former ``filter(size(toks) > 0).agg(...)`` pushed
+    the whole tokenizer expression below the `_spread` repartition (a
+    deterministic filter slides under an exchange), so the tokenize ran
+    on the source's single scan partition.  ``sum(when)/sum(when)``
+    needs no filter and keeps exact-long inputs: identical bits to
+    ``count(*)`` / ``avg(int)`` (Spark's Average is sum.toDouble /
+    count.toDouble over the same exact longs)."""
+    dl = F.size(simple_tokens(F.col("text")))
+    return docs.select(dl.alias("_dl")).agg(
+        F.sum(F.when(F.col("_dl") > 0, 1).otherwise(0)).alias("n"),
+        (
+            F.sum(F.when(F.col("_dl") > 0, F.col("_dl"))).cast("double")
+            / F.sum(F.when(F.col("_dl") > 0, 1)).cast("double")
+        ).alias("avgdl"),
+    )
+
+
+def _corpus_n(docs: DataFrame) -> int:
+    """Count of docs with >= 1 token, without the filter-pushdown
+    single-core tokenize of ``filter(size(toks) > 0).count()`` — see
+    `_corpus_nd`."""
+    dl = F.size(simple_tokens(F.col("text")))
+    return int(
+        docs.select(dl.alias("_dl"))
+        .agg(F.sum(F.when(F.col("_dl") > 0, 1).otherwise(0)))
+        .collect()[0][0]
+    )
+
+
 def _bm25_scores(docs: DataFrame, terms_df: DataFrame | None = None,
                  weighted: bool = False,
                  postings: DataFrame | None = None) -> DataFrame:
@@ -120,15 +187,30 @@ def _bm25_scores(docs: DataFrame, terms_df: DataFrame | None = None,
     if weighted and (terms_df is None or "weight" not in terms_df.columns):
         raise ValueError("weighted scoring needs a terms_df with a "
                          "'weight' column")
-    tfs = _tfs_df(docs)
+    # r6 shape (guide §2.3 — shuffle fewer bytes): the query-term filter
+    # runs BEFORE the (doc, term) tf aggregation, so only postings of
+    # query terms ever enter a shuffle; df for those terms falls out of
+    # the matched tf rows themselves (row count per term == docs
+    # containing the term — identical to the full-corpus groupBy
+    # restricted to the matched terms).  The former full-vocabulary
+    # tfs + stats exchanges are gone; the corpus constants remain one
+    # map-only tokenize pass.
+    pos = _pos_df(docs)
+    if terms_df is None:
+        fpos = pos.filter(F.col("term").isin(BM25_TERMS))
+    else:
+        fpos = pos.join(
+            F.broadcast(terms_df.select("term").distinct()), "term",
+            "left_semi",
+        )
+    tfs = (
+        fpos.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
     stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
     if postings is not None:
         tfs = postings
-    corpus = (
-        _tok_df(docs)
-        .filter(F.size("toks") > 0)
-        .agg(F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl"))
-    )
+    corpus = _corpus_nd(docs)
     matched = (
         tfs.filter(F.col("term").isin(BM25_TERMS)) if terms_df is None
         else tfs.join(F.broadcast(terms_df), "term")
@@ -226,7 +308,7 @@ def q_r1_tfidf_topk(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     tfs = _tfs_df(docs)
     stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
-    n = _tok_df(docs).filter(F.size("toks") > 0).count()
+    n = _corpus_n(docs)
     w_doc = tfs.join(stats, "term").withColumn(
         "w", F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
     )
@@ -3954,14 +4036,26 @@ def q_search_prf(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
+    # the k-row feedback list is materialized once: it feeds both the
+    # harvest semi-join and rm3's weight join, and each reference would
+    # otherwise re-run the whole first-pass scoring
     feedback = (
         _bm25_scores(docs)
         .select("doc_id", F.round("score", 6).alias("w"))
         .orderBy(F.desc("w"), F.asc("doc_id"))
         .limit(PRF_K_DOCS)
+    ).localCheckpoint(eager=True)
+    # harvest only the feedback docs' postings (guide §2.3): the term
+    # rows of k docs, not the corpus-wide tfs, enter the aggregation —
+    # rm3's inner join on doc_id never read the other rows anyway
+    tfs_fb = (
+        _pos_df(docs)
+        .join(F.broadcast(feedback.select("doc_id")), "doc_id", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
     terms = rm3_expansion_terms(
-        _tfs_df(docs), feedback, BM25_TERMS,
+        tfs_fb, feedback, BM25_TERMS,
         m_terms=PRF_M_TERMS, beta=PRF_BETA,
     )
     return (
@@ -4009,12 +4103,25 @@ def q_mlt_search(spark, sf_dir):
     from document_retrieval_system_spark.operators.mlt import doc_top_terms
 
     docs = _docs(spark, sf_dir)
-    tfs = _tfs_df(docs)
-    stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
-    corpus = (
-        _tok_df(docs).filter(F.size("toks") > 0).agg(F.count("*").alias("n"))
+    # r6: the source doc's tf rows come from a doc_id-pushed scan (one
+    # document, not the corpus-wide tfs), and df is computed only for
+    # the terms that doc contains (semi-join pre-filter before the
+    # aggregation — countDistinct(doc_id) over position rows equals the
+    # former count of unique (doc, term) rows).  Values unchanged.
+    pos = _pos_df(docs)
+    src_tfs = (
+        pos.filter(F.col("doc_id") == F.lit(MLT_DOC))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
     )
-    terms = doc_top_terms(tfs, stats, corpus, MLT_DOC, MLT_M)
+    stats = (
+        pos.join(F.broadcast(src_tfs.select("term").distinct()), "term",
+                 "left_semi")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    corpus = _corpus_nd(docs)
+    terms = doc_top_terms(src_tfs, stats, corpus, MLT_DOC, MLT_M)
     return (
         _bm25_scores(docs, terms_df=terms)
         .filter(F.col("doc_id") != MLT_DOC)
@@ -4915,7 +5022,7 @@ def q_search_passage(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     tfs = _tfs_df(docs)
     stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
-    n = _tok_df(docs).filter(F.size("toks") > 0).count()
+    n = _corpus_n(docs)
     idf = (
         stats.filter(F.col("term").isin(BM25_TERMS))
         .select(

@@ -264,15 +264,32 @@ def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
     ev_grams = grams(eval_df).select("gram").distinct() \
         .withColumn("_exact", F.lit(1))
 
-    tr = grams(train)
-    probes = (
-        tr.select("doc_id", "gram", slot)
-        .select("doc_id", "gram", idx)
-        .join(F.broadcast(ev_bits.withColumn("_hit", F.lit(1))),
-              "idx", "left")
-        .groupBy("doc_id", "gram")
-        .agg(F.min(F.coalesce(F.col("_hit"), F.lit(0))).alias("_bloom"))
-    )
+    # r6 probe shape: ONE md5 per training gram (its k probe indices are
+    # substrings of the same digest), and the k membership tests are k
+    # map-side broadcast left-joins ANDed together — the former
+    # slot-explode tripled the gram rows and then paid a full
+    # (doc_id, gram) re-aggregation shuffle just to undo it.
+    # min-over-slots of hit == AND of the k per-slot hits, exactly;
+    # ev_bits has distinct idx rows, so no join multiplies rows and the
+    # output stays one row per (doc, gram).  Everything up to the final
+    # tiny per-doc aggregate is now shuffle-free.
+    tr = grams(train).withColumn("_h", F.md5("gram"))
+    for j in range(k):
+        slot_idx = (
+            F.conv(F.substring("_h", j * 8 + 1, 8), 16, 10)
+            .cast("long") % m_bits
+        )
+        bits_j = ev_bits.withColumnRenamed("idx", f"_idx{j}") \
+            .withColumn(f"_hit{j}", F.lit(1))
+        tr = (
+            tr.withColumn(f"_idx{j}", slot_idx)
+            .join(F.broadcast(bits_j), f"_idx{j}", "left")
+        )
+    bloom = F.when(
+        sum(F.coalesce(F.col(f"_hit{j}"), F.lit(0)) for j in range(k))
+        == F.lit(k), F.lit(1)
+    ).otherwise(F.lit(0))
+    probes = tr.select("doc_id", "gram", bloom.alias("_bloom"))
     return (
         probes.join(F.broadcast(ev_grams), "gram", "left")
         .groupBy("doc_id")

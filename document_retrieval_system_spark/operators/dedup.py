@@ -23,6 +23,8 @@ same bytes), and uniformly distributed.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -204,6 +206,12 @@ def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame,
     pair in one pass.  Cost is O(|candidates| * doc_len), never O(n^2):
     the expensive exact check runs only on pairs an LSH pass surfaced.
     """
+    # (r6 note: a candidate-doc semi-join prefilter before the shingling
+    # was tried and reverted — on the bench corpus nearly every doc
+    # appears in some candidate pair, so the prefilter's id-set
+    # aggregation and per-side semi-join cost more than the tokenize
+    # they saved.  The gram sides broadcast either way, so the pair
+    # stream never re-shuffles the arrays.)
     grams = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -300,26 +308,33 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     vote(b) = 2*sum(tf * bit_b) - sum(tf).  r2 exploded 32 (id, term,
     bit) rows per distinct term through a groupBy: correct and linear,
     but ~32x the shuffle volume of this form (partial aggregation here
-    ships `bits`+1 longs per doc, not 32 rows per posting)."""
+    ships `bits`+1 longs per doc, not 32 rows per posting).
+
+    Shape (r6): the intermediate (id, tok) tf groupBy is gone — summing
+    tf * bit_b over DISTINCT terms equals summing bit_b over every token
+    OCCURRENCE (and sum(tf) == count of occurrences), so the votes come
+    from ONE groupBy(id) whose map-side partial aggregation collapses
+    each doc to a single row before any shuffle (a doc's exploded
+    tokens stay in its partition).  One full (id, tok) exchange removed;
+    identical integer output."""
     n_hex = bits // 4
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(simple_tokens(F.col(text_col))).alias("tok"),
     )
-    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
     # hv: the first n_hex md5 hex digits as an integer — bit b (MSB
     # first) of the signature input is (hv >> (bits-1-b)) & 1, exactly
     # the r2 per-hex-digit decomposition
-    packed = tf.withColumn(
+    packed = toks.withColumn(
         "hv", F.conv(F.substring(F.md5(F.col("tok")), 1, n_hex), 16, 10).cast("long")
     )
     aggs = [
         F.sum(
-            F.col("tf") * F.shiftright(F.col("hv"), bits - 1 - b).bitwiseAND(F.lit(1))
+            F.shiftright(F.col("hv"), bits - 1 - b).bitwiseAND(F.lit(1))
         ).alias(f"s{b}")
         for b in range(bits)
     ]
-    votes = packed.groupBy("id").agg(F.sum("tf").alias("tot"), *aggs)
+    votes = packed.groupBy("id").agg(F.count("*").alias("tot"), *aggs)
     chars = [
         F.when(2 * F.col(f"s{b}") - F.col("tot") > 0, F.lit("1")).otherwise(F.lit("0"))
         for b in range(bits)
@@ -353,8 +368,15 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
         starts.append(s)
         lens.append(length)
         s += length
+    # r6 shape: the packed signature value rides along through the band
+    # explode, so the verify needs NO join back onto the signature table
+    # (two exchanges removed), and Hamming distance is one codegen'd
+    # bit_count(xor) over packed longs instead of an interpreted
+    # split/zip_with over 32 one-char strings.  Exact for bits <= 63;
+    # identical counts to the per-character comparison by construction.
     bands = sig.select(
         "id",
+        F.conv("simhash_bits", 2, 10).cast("long").alias("sv"),
         F.explode(
             F.array(
                 *[
@@ -366,21 +388,24 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                 ]
             )
         ).alias("band"),
-    ).select("id", "band.band_id", "band.band_key")
-    cand = _banded_pairs(bands, bucket_cap, observation=observation)
-    sa = sig.select(F.col("id").alias("id_a"), F.col("simhash_bits").alias("sa"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("simhash_bits").alias("sb"))
-    ham = F.size(
-        F.filter(
-            F.zip_with(F.split("sa", ""), F.split("sb", ""), lambda x, y: x != y),
-            lambda d: d,
-        )
-    ).cast("long")
+    ).select("id", "sv", "band.band_id", "band.band_key")
+    bands = _cap_band_buckets(bands, bucket_cap, observation=observation)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
     return (
-        cand.join(sa, "id_a").join(sb, "id_b")
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.sv").alias("sa"), F.col("r.sv").alias("sb"))
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -427,7 +452,6 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     """
     from document_retrieval_system_spark.operators.similarity import (
         hyperplanes,
-        lsh_signature_col,
     )
 
     row = emb.select(vec_col).head()
@@ -438,19 +462,48 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
         ).limit(0)
     dim = len(row[0])
     planes = hyperplanes(dim, sig_bits, seed)
-    # (id, sig) MATERIALIZED before the band explode: the signature is a
-    # per-plane HOF fold chain, and evaluating it under a Generate node
-    # (or once per downstream consumer) re-runs it interpreted — the
-    # same pathology as the winnow sketch below, measured ~2x on this
-    # operator.  Only the tiny (id, 64-char sig) projection is stored;
-    # the verify joins read vectors straight from the INPUT, never
-    # through the signature plan.
-    sig = emb.select(
+
+    # (id, vec, sig, nrm) MATERIALIZED before the band explode: the
+    # signature used to be a per-plane HOF fold chain — interpreted,
+    # measured 31 s of this operator's 41 s at sf1.0 — and evaluating
+    # it under a Generate node (or once per downstream consumer) would
+    # re-run it per consumer.  r6 computes signature AND L2 norm in one
+    # vectorized Arrow UDF (guide §4.2) whose accumulation loop runs in
+    # the same element order as the former fold, so every double is
+    # bit-identical: products are IEEE-exact elementwise, the j-loop
+    # accumulates left-to-right exactly like aggregate(zip_with(...)),
+    # and sqrt is correctly rounded on both sides.  Storing the norm
+    # also means the verify pays one norm per VECTOR, not two folds per
+    # candidate pair (dot/(na*nb) with the same norm value is the same
+    # float as the former per-pair norm product).
+    pl = np.ascontiguousarray(planes, dtype=np.float64)
+
+    @F.pandas_udf("struct<sig:string, nrm:double>")
+    def _sig_nrm(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"sig": [], "nrm": []})
+        v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
+        acc = np.zeros((v.shape[0], pl.shape[0]))
+        nrm2 = np.zeros(v.shape[0])
+        for j in range(pl.shape[1]):
+            col = v[:, j]
+            acc += col[:, None] * pl[:, j][None, :]
+            nrm2 += col * col
+        bits = np.where(acc >= 0, "1", "0")
+        return pd.DataFrame({
+            "sig": ["".join(r) for r in bits],
+            "nrm": np.sqrt(nrm2),
+        })
+
+    base = emb.select(
         F.col(id_col).alias("id"),
-        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+        F.col(vec_col).alias("vec"),
+        _sig_nrm(F.col(vec_col).cast("array<double>")).alias("_sn"),
+    ).select(
+        "id", "vec", F.col("_sn.sig").alias("sig"), F.col("_sn.nrm").alias("nrm")
     ).localCheckpoint(eager=True)
     n_bands = sig_bits // band_size
-    bands = sig.select(
+    bands = base.select(
         "id",
         F.explode(
             F.array(
@@ -465,17 +518,29 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_key")
     cand = _banded_pairs(bands, bucket_cap, observation=observation)
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = base.select(F.col("id").alias("id_a"),
+                     F.col("vec").cast("array<double>").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = base.select(F.col("id").alias("id_b"),
+                     F.col("vec").cast("array<double>").alias("vb"),
+                     F.col("nrm").alias("nb"))
 
-    def norm(c):
-        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    # per-pair dot product, vectorized with the same left-to-right
+    # accumulation as the former aggregate(zip_with(...)) fold — the
+    # doubles are bit-identical, just ~100x less per-element overhead
+    # on the millions of candidate pairs
+    @F.pandas_udf("double")
+    def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        va_m = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+        vb_m = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        acc = np.zeros(va_m.shape[0])
+        for j in range(va_m.shape[1]):
+            acc += va_m[:, j] * vb_m[:, j]
+        return pd.Series(acc)
 
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    cos = _pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine", F.round(cos, 6))
@@ -583,6 +648,40 @@ def exact_overlap_spans(df: DataFrame, id_col: str = "doc_id",
         ).alias("pos"),
     ).select("id", "pos", F.expr(f"substring(_t, pos, {k})").alias("g"))
     grams = _cap_buckets(grams, ["g"], bucket_cap, observation=observation)
+    # Shared-gram prefilter (guide §2.3/§3.2): a gram occurring in only
+    # ONE document can never satisfy the id_a < id_b join, and on real
+    # corpora almost every k-char gram is unique — so the expensive
+    # literal-string self-join only needs the tiny shared subset.  The
+    # membership test runs on an 8-byte xxhash64 of the gram (min!=max
+    # of doc ids per hash — a cheap partially-aggregated proxy for
+    # "two distinct docs"); hash collisions only ADD survivors, never
+    # drop one, and the string equi-join downstream remains the exact
+    # arbiter, so the span output is byte-identical.  The semi-join
+    # build side is small whenever dedup is meaningful and AQE turns it
+    # into a broadcast; degenerate corpora fall back to a shuffled
+    # semi-join of 8-byte keys — still far cheaper than the unfiltered
+    # d^2 string join.
+    shared = (
+        grams.select(F.xxhash64("g").alias("_gh"), F.col("id"))
+        .groupBy("_gh")
+        .agg(F.min("id").alias("_i0"), F.max("id").alias("_i1"))
+        .filter(F.col("_i0") != F.col("_i1"))
+        .select("_gh")
+    )
+    # The surviving grams are MATERIALIZED once: the self-join consumes
+    # the subtree twice (l/r aliases do not share exchanges), and
+    # without the checkpoint each side would rebuild the gram explode,
+    # the shared-hash aggregate, and the semi-join — measured slower
+    # than no prefilter at all.  The checkpoint is bounded by the gram
+    # table and is tiny on real corpora (shared grams only); on a
+    # cluster the same role is played by writing the filtered side out
+    # once (guide §8).
+    grams = (
+        grams.withColumn("_gh", F.xxhash64("g"))
+        .join(shared, "_gh", "left_semi")
+        .drop("_gh")
+        .localCheckpoint(eager=True)
+    )
     ga = grams.alias("l")
     gb = grams.alias("r")
     m = ga.join(gb, (F.col("l.g") == F.col("r.g"))

@@ -96,19 +96,31 @@ def cms_counters(items: DataFrame, term_col: str = "term",
 
     The counters are mergeable by cellwise addition (sum over (r,
     bucket)) — the property that lets 1000 executors sketch 100 TB
-    independently and combine in one tiny reduce."""
+    independently and combine in one tiny reduce.
+
+    r6 shape: occurrences are counted per DISTINCT item first (one
+    map-side-combined groupBy), and the ``depth`` md5 probes run once
+    per distinct item instead of once per occurrence — on a Zipfian
+    stream that is orders of magnitude fewer digests for the identical
+    integer counters (sum of per-item counts per cell == count of
+    occurrences per cell)."""
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    per_item = (
+        items.select(F.col(term_col).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
     return (
-        items.select(F.col(term_col).alias("_t")).select("_t", rows)
+        per_item.select("_t", "_n", rows)
         .select(
-            "r",
+            "r", "_n",
             (_hash48(F.concat(F.col("r").cast("string"), F.lit(":"),
                               F.col("_t"))) % width).alias("bucket"),
         )
         .groupBy("r", "bucket")
-        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.sum("_n").cast("long").alias("c"))
     )
 
 

@@ -14,6 +14,8 @@ in functions/analyzer.py and is verified against the oracle in pytest.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -187,25 +189,45 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
         csum(dlines).alias("_dchars"),
         simple_tokens(t).alias("_toks"),
     )
-    g2 = base.select(id_col, F.explode(word_ngrams(F.col("_toks"), 2)).alias("g"))
-    top2 = (
-        g2.groupBy(id_col, "g").count()
-        .groupBy(id_col)
-        .agg(F.max(F.col("count") * F.length("g")).alias("_m2"))
-    )
-    g3 = base.select(id_col, F.explode(word_ngrams(F.col("_toks"), 3)).alias("g"))
-    d3 = (
-        g3.groupBy(id_col, "g").count()
+    # r6: the 2-gram and 3-gram legs share ONE explode / ONE
+    # (doc, n, gram) count / ONE per-doc aggregate / ONE join back —
+    # previously each leg re-ran the tokenizer and paid its own two
+    # shuffles and its own join.  A doc with 3-grams always has
+    # 2-grams, and docs with neither produce no row at all, so the
+    # left-join + coalesce semantics below are unchanged.
+    g23 = base.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.transform(
+                    word_ngrams(F.col("_toks"), 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+                ),
+                F.transform(
+                    word_ngrams(F.col("_toks"), 3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+                ),
+            )
+        ).alias("ng"),
+    ).select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    gstats = (
+        g23.groupBy(id_col, "n", "g").count()
         .groupBy(id_col)
         .agg(
+            F.max(
+                F.when(F.col("n") == 2, F.col("count") * F.length("g"))
+            ).alias("_m2"),
             F.sum(
-                F.when(F.col("count") >= 2, F.col("count") * F.length("g"))
-                .otherwise(F.lit(0))
+                F.when((F.col("n") == 3) & (F.col("count") >= 2),
+                       F.col("count") * F.length("g")).otherwise(F.lit(0))
             ).alias("_dm3"),
-            F.sum(F.col("count") * F.length("g")).alias("_tm3"),
+            F.sum(
+                F.when(F.col("n") == 3, F.col("count") * F.length("g"))
+                .otherwise(F.lit(0))
+            ).alias("_tm3"),
         )
     )
-    out = base.join(top2, id_col, "left").join(d3, id_col, "left")
+    out = base.join(gstats, id_col, "left")
     frac = lambda num, den: F.round(  # noqa: E731
         F.when(den > 0, num * F.lit(1.0) / den).otherwise(F.lit(0.0)), 4
     )
@@ -229,20 +251,62 @@ def winnowed_sets(df: DataFrame, id_col: str = "doc_id",
     (id, fps array<long>) — the distinct window-minimum selection over
     polynomial char-k-gram hashes.
 
-    - gram hash = Horner polynomial over codepoints (h*31 + c), built as
-      a k-level zip_with chain over ONE materialized codes array — pure
-      JVM integer ops, no digest, exact in BIGINT (max codepoint 2^21 *
-      31^7 * 8 < 2^58).  Spark ``ascii``/``split('')`` and DuckDB
-      ``unicode``/``substr`` agree on full codepoints incl. astral.
-    - selection = min per sliding window of ``window`` gram positions,
-      via a log2(window) sparse-table of zip_with(least) levels, each
-      materialized once (windows clamped at the text tail; one
-      truncated window when fewer than ``window`` grams exist).
+    - gram hash = Horner polynomial over codepoints (h*31 + c) — pure
+      integer ops, no digest, exact in BIGINT (max codepoint 2^21 *
+      31^7 * 8 < 2^58).
+    - selection = min per sliding window of ``window`` gram positions
+      (windows clamped at the text tail; one truncated window when
+      fewer than ``window`` grams exist).
+
+    r6 shape: the hash chain + sliding minimum run as ONE vectorized
+    Arrow pandas UDF over the JVM-lowercased text (numpy int64 — the
+    arithmetic is exact integers, so the values are bit-identical to
+    the former zip_with expression chain, which survives as
+    ``_winnowed_sets_expr`` and is pinned equal by
+    tests/test_dedup_similarity.py::test_winnow_arrow_matches_expr).
+    The expression form evaluated ~12 interpreted HOF array passes per
+    document; the Arrow form is two orders of magnitude less
+    per-element overhead and stays map-only (guide §4.2).  Lowercasing
+    stays in the JVM so Python str semantics never enter the value.
 
     The sketch is density-guaranteed (~2/(window+1) hashes per char) and
     any shared substring of length >= window + k - 1 contributes at
     least one shared fingerprint — the overlap-detection property
     ``dedup.winnow_overlap_pairs`` builds on."""
+    assert window & (window - 1) == 0, "window must be a power of two"
+
+    @F.pandas_udf("array<long>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            codes = np.frombuffer(
+                (t or "").encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            p = codes.size - (k - 1)
+            if p <= 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            h = codes[:p].copy()
+            for j in range(1, k):
+                h *= FP_BASE
+                h += codes[j:j + p]
+            if p <= window - 1:
+                sel = h.min(keepdims=True)
+            else:
+                sel = np.lib.stride_tricks.sliding_window_view(
+                    h, window).min(axis=1)
+            out.append(pd.unique(sel))
+        return pd.Series(out)
+
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    return df.select(F.col(id_col), _winnow(text).alias("fps"))
+
+
+def _winnowed_sets_expr(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        window: int = 16) -> DataFrame:
+    """The original JVM zip_with expression chain for winnowed_sets —
+    kept as the cross-implementation oracle for the Arrow path."""
     assert window & (window - 1) == 0, "window must be a power of two"
     text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))

@@ -46,6 +46,18 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # InferFiltersFromGenerate synthesizes `size(gen) > 0 AND
+        # isnotnull(gen)` below every explode; with an expensive
+        # generator expression (the tokenizer / shingle chains) the
+        # inferred filter re-evaluates it per row, and predicate
+        # pushdown then slides it below any repartition — serializing
+        # TWO extra tokenizer passes onto the (often single-split) scan
+        # partition.  Excluding the rule changes no results: the
+        # Generate itself skips empty/null arrays.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1020,3 +1020,33 @@ def test_span_removal_decisions_bruteforce(spark):
     assert set(got) == {2, 3, 5}
     # doc 5 is fully covered by docs 1/3 passages -> keep_frac low
     assert got[5][3] < 0.1
+
+
+def test_winnow_arrow_matches_expr(spark):
+    """The r6 Arrow winnowing path is value-identical to the original
+    JVM zip_with expression chain on every text shape that matters:
+    ascii prose, repeated text, CJK, astral codepoints, mixed-case
+    (JVM lower), short-of-one-gram, short-of-one-window, empty/null."""
+    from document_retrieval_system_spark.operators.textstats import (
+        _winnowed_sets_expr,
+        winnowed_sets,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"),
+        (3, "中文分词测试文本，包含标点符号。再来一些中文。"),
+        (4, "astral \U0001F600\U0001F680 chars \U00010348 mixed in text"),
+        (5, "MiXeD CaSe TeXt With UPPER and lower RUNS"),
+        (6, "short"),          # < k chars: no gram
+        (7, "exactly12chr"),   # >= k, < window+k-1: one truncated window
+        (8, ""),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, window in ((8, 16), (4, 8)):
+        got = {r["doc_id"]: list(r["fps"])
+               for r in winnowed_sets(df, k=k, window=window).collect()}
+        want = {r["doc_id"]: list(r["fps"])
+                for r in _winnowed_sets_expr(df, k=k, window=window).collect()}
+        assert got == want
