@@ -113,12 +113,37 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark, spark.read.parquet(p), p)
 
 
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unspread documents scan — for consumers whose per-row map work is
+    trivial (md5 of an id, URL regex, id-only graph derivations): there
+    the `_spread` exchange + pushdown barrier cost more than the
+    parallelism they buy (measured +0.3-4 s each at sf1.0)."""
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = os.path.join(sf_dir, "embeddings.parquet")
     return _spread(spark, spark.read.parquet(p), p)
 
 
+def _emb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unspread embeddings scan — the ANN point queries probe one query
+    vector and a pruned bucket set; the barrier would block those
+    pushed filters and force full decodes (measured ann_lsh 0.7->2.2 s
+    under spread)."""
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events scan, unspread by default: event operators shuffle by
+    user/session almost immediately and their map stages are cheap
+    casts, so the extra exchange was a measured net loss on 9 of 10
+    event entries; `q_events_json_props` (heavy per-row JSON parsing)
+    opts back in explicitly."""
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _events_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = os.path.join(sf_dir, "events.parquet")
     return _spread(spark, spark.read.parquet(p), p)
 
@@ -306,7 +331,10 @@ def q_r1_tfidf_topk(spark, sf_dir):
     """R1 (search_engine.py:347-410 + indexer.py:254-271): cosine of the
     normalized query idf vector with L2-normalized doc tf-idf weights."""
     docs = _docs(spark, sf_dir)
-    tfs = _tfs_df(docs)
+    # full-vocabulary tfs is consumed by stats, the norms leg and the
+    # final scorer; materialize it once (r6) instead of re-running the
+    # tokenize/explode/aggregate subtree per consumer
+    tfs = _tfs_df(docs).localCheckpoint(eager=True)
     stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
     n = _corpus_n(docs)
     w_doc = tfs.join(stats, "term").withColumn(
@@ -602,7 +630,7 @@ def q_dedup_exact(spark, sf_dir):
     hash-group-count machinery on non-empty output.  Full-text exact
     dedup is the same operator with text_col='text' and is pytest-covered
     on corpora containing real clones."""
-    docs = _docs(spark, sf_dir).withColumn(
+    docs = _docs_raw(spark, sf_dir).withColumn(
         "pfx", F.substring("text", 1, DEDUP_PREFIX_LEN)
     )
     return dedup.exact_duplicate_groups(docs, text_col="pfx")
@@ -794,7 +822,7 @@ SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3"""
 
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 embedding."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_raw(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return similarity.cosine_topk(
         emb.filter(F.col("vec_id") > 0), [float(x) for x in qvec], k=10
@@ -905,7 +933,7 @@ def q_corpus_sample(spark, sf_dir):
     )
 
     return stratified_sample(
-        _docs(spark, sf_dir), SAMPLE_RATES, salt=SAMPLE_SALT
+        _docs_raw(spark, sf_dir), SAMPLE_RATES, salt=SAMPLE_SALT
     ).select("doc_id", "lang", F.col("sample_key").cast("long").alias("sample_key"))
 
 
@@ -1128,7 +1156,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     centroid cell (centroids FITTED on this sf_dir's data); the query
     scans only its nprobe nearest cells (partition pruning) and
     exact-cosine-reranks inside them."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_raw(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     idx = _ensure_ivf_index(spark, sf_dir)
     return similarity.ivf_topk(
@@ -1256,7 +1284,7 @@ def q_ann_pq_topk(spark, sf_dir):
     against the query's literal distance tables, then the top-RERANK
     approximate matches are exact-cosine reranked.  Codebooks are
     FITTED on this sf_dir's data (deterministic sampled Lloyd)."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_raw(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     books = _pq_fitted_books(sf_dir)
     idx = _ensure_pq_index(spark, sf_dir)
@@ -1394,7 +1422,7 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     exact-cosine reranked.  Both pruning axes of the 10^12-vector
     design in one layout; centroids and residual codebooks FITTED on
     this sf_dir's data."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_raw(spark, sf_dir)
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
     cents = _ivf_fitted_cents(sf_dir)
@@ -1625,7 +1653,9 @@ def q_fuzzy_search(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    dictionary = _tfs_df(docs).select("term").distinct()
+    # vocabulary straight off the exploded tokens: identical distinct
+    # set, without the per-(doc, term) aggregation the tfs shape pays
+    dictionary = _pos_df(docs).select("term").distinct()
     queries = spark.createDataFrame(
         [(t,) for t in FUZZY_SEARCH_QUERY], "query_term string"
     )
@@ -2097,7 +2127,7 @@ def q_events_json_props(spark, sf_dir):
     cents (order-independent sums — the engine's exactness idiom for
     money).  At 100 TB the parse is map-only and the single aggregate
     has map-side combine; a hot item key arrives pre-summed."""
-    ev = _events(spark, sf_dir)
+    ev = _events_spread(spark, sf_dir)
     item = F.from_json("props", "k INT").getField("k")
     return (
         ev.select(
@@ -2155,7 +2185,7 @@ def q_graph_pagerank(spark, sf_dir):
     rounded to 6."""
     from document_retrieval_system_spark.operators.linkgraph import pagerank
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    docs = _docs_raw(spark, sf_dir).select(F.col("doc_id").alias("node"))
     n = docs.count()
     pr = pagerank(_link_edges(docs, n), docs,
                   damping=_PR_DAMPING, iters=_PR_ITERS)
@@ -2193,7 +2223,7 @@ def q_graph_triangles(spark, sf_dir):
         triangle_stats,
     )
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    docs = _docs_raw(spark, sf_dir).select(F.col("doc_id").alias("node"))
     n = docs.count()
     return triangle_stats(_tri_edges(docs, n))
 
@@ -2659,7 +2689,7 @@ def q_url_dedup(spark, sf_dir):
         url_duplicate_groups,
     )
 
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = _docs_raw(spark, sf_dir).select("doc_id")
     v0 = d.select(
         "doc_id",
         F.concat(F.lit("HTTPS://WWW.Example.COM:443/p/"),
@@ -3411,7 +3441,9 @@ def q_e2e_search_pipeline(spark, sf_dir):
     res = bm25_wand_search(
         reader, E2E_QUERY, "en", 10**6, 0.0, analyzer=simple_process_text
     ).select(F.expr("cast(substring(url, 7) as bigint)").alias("doc_id"), "score")
-    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    # raw scan: the rules run only on the WAND match set after the join,
+    # so the spread exchange would move all text for nothing
+    docs = _docs_raw(spark, sf_dir).select("doc_id", "text", "source")
     res = res.join(docs, "doc_id").withColumn(
         "warc_ts",
         F.timestamp_seconds(
@@ -3515,7 +3547,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     only the multi-probe partitions (partition pruning), refines by
     stored-signature string Hamming, then exact-cosine-reranks the
     survivors.  No signature is computed at query time."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_raw(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     idx = _ensure_ann_index(spark, sf_dir)
     return similarity.lsh_index_topk(
@@ -3969,7 +4001,7 @@ _PARA_BOILER = "shared boilerplate navigation menu home about contact page foote
 
 
 def _para_planted_docs(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs_raw(spark, sf_dir)
     t = F.coalesce(F.col("text"), F.lit(""))
     plant = F.concat(t, F.lit("\n" + _PARA_BOILER),
                      (F.col("doc_id") % 4).cast("string"))
@@ -4267,7 +4299,7 @@ def q_corpus_domain_cap(spark, sf_dir):
     )
 
     return domain_cap_sample(
-        _docs(spark, sf_dir), DOMAIN_CAP_N, domain_col="source",
+        _docs_raw(spark, sf_dir), DOMAIN_CAP_N, domain_col="source",
         salt=DOMAIN_CAP_SALT,
     )
 
@@ -4754,8 +4786,10 @@ def q_search_static_rank(spark, sf_dir):
     from document_retrieval_system_spark.operators.linkgraph import pagerank
 
     docs = _docs(spark, sf_dir)
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    n = docs.count()
+    # the graph legs are id-only: derive them from the raw scan (no
+    # spread exchange/barrier — see _docs_raw), scoring keeps the spread
+    nodes = _docs_raw(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    n = nodes.count()
     pr = pagerank(_link_edges(nodes, n), nodes,
                   damping=_PR_DAMPING, iters=_PR_ITERS)
     prior = pr.select(
@@ -4912,9 +4946,9 @@ def q_search_anchor_text(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     t = _tok_df(docs)
-    n = docs.count()
+    n = _docs_raw(spark, sf_dir).count()
     edges = _link_edges(
-        docs.select(F.col("doc_id").alias("node")), n)
+        _docs_raw(spark, sf_dir).select(F.col("doc_id").alias("node")), n)
     anch = (
         edges.join(
             t.select(F.col("doc_id").alias("src"),
@@ -5020,20 +5054,24 @@ def q_search_passage(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    tfs = _tfs_df(docs)
-    stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
+    # df for the query terms comes off the MATCHED postings (row count
+    # per term == docs containing it), so the full-vocabulary tfs and
+    # its second corpus-wide aggregation are gone (r6, guide §2.3)
+    fpos = _pos_df(docs).filter(F.col("term").isin(BM25_TERMS))
+    stats = (
+        fpos.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
     n = _corpus_n(docs)
     idf = (
-        stats.filter(F.col("term").isin(BM25_TERMS))
-        .select(
+        stats.select(
             "term",
             F.round(
                 F.log((F.lit(float(n)) - F.col("df") + 0.5)
                       / (F.col("df") + 0.5) + 1), 6).alias("idf"),
         )
     )
-    pos = _pos_df(docs).filter(F.col("term").isin(BM25_TERMS)).select(
-        "doc_id", "term", "pos")
+    pos = fpos.select("doc_id", "term", "pos")
     best = best_passage(pos, idf, width=PASSAGE_WIDTH, round_to=6)
     return (
         best.select(
@@ -5214,7 +5252,7 @@ def q_graph_bfs_depth(spark, sf_dir):
         bfs_depths,
     )
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    docs = _docs_raw(spark, sf_dir).select(F.col("doc_id").alias("node"))
     n = docs.count()
     seeds = docs.filter(F.col("node") % _BFS_SEED_MOD == 0)
     return bfs_depths(_tri_edges(docs, n), seeds,

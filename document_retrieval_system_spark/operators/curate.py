@@ -50,7 +50,9 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for it in range(max_iter):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src").agg(F.min("label").alias("nbr_min"))
@@ -62,12 +64,17 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                labels["label"].alias("_prev"),
             )
         )
         # pointer jump: follow my label's own label one step
         jump = labels.select(
             F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
         )
+        # convergence is read off an Observation during the checkpoint
+        # job itself (r6) — the former labels-vs-new-labels comparison
+        # join was a second driver-synchronized job per round
+        obs = Observation(f"cc-changed-{it}")
         new_labels = (
             hopped.join(jump, hopped["label"] == jump["_jid"], "left")
             .select(
@@ -75,15 +82,18 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_jlabel"), F.col("label"))
                 ).alias("label"),
+                F.col("_prev"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("_prev"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("id", "label")
             .localCheckpoint(eager=True)  # bound plan growth per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         if changed == 0:
             break

@@ -600,13 +600,20 @@ def build_index(
             continue
         docs = base.filter(F.col("shard").isin([int(s) for s in wave]))
         # tokenize BEFORE the ordinal shuffle: the window then moves
-        # text+tokens, never raw html bytes
-        tok = assign_local_no(tokenize_docs(docs, analyzer=analyzer)).persist()
+        # text+tokens, never raw html bytes.  The explicit shard
+        # repartition comes BEFORE the ordinal window (r6): the window
+        # requires hash-by-shard distribution, so placing the write's
+        # repartition first lets the window reuse that one exchange —
+        # previously the wide tokenized rows crossed two exchanges per
+        # wave (window's own + the write's).
+        tok = assign_local_no(
+            tokenize_docs(docs, analyzer=analyzer)
+            .repartition(max(len(wave), 1), "shard")
+        ).persist()
         try:
             doc_cols = tok.select(*DOC_TABLE_COLS)
             (
-                doc_cols.repartition(len(wave), "shard")
-                .sortWithinPartitions("local_no")
+                doc_cols.sortWithinPartitions("local_no")
                 .write.partitionBy("shard")
                 .mode("append")
                 .parquet(paths.docs)

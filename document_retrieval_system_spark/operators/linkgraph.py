@@ -64,10 +64,14 @@ def pagerank(edges: DataFrame, nodes: DataFrame, damping: float = 0.85,
         F.count("*").cast("double").alias("deg")).localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint()
     for _ in range(iters):
+        # dangling mass stays IN the plan as a broadcast one-row
+        # aggregate: collecting it per iteration cost one extra
+        # driver-synchronized job per round (r6; the in-plan double
+        # division by n is bit-identical to the former driver-side
+        # float division)
         dangling = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
         )
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
@@ -77,11 +81,12 @@ def pagerank(edges: DataFrame, nodes: DataFrame, damping: float = 0.85,
         )
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (F.lit(teleport) + F.lit(damping)
                  * (F.coalesce(F.col("s"), F.lit(0.0))
-                    + F.lit(dangling / n))).alias("pr"),
+                    + F.col("_dm") / F.lit(float(n)))).alias("pr"),
             )
             .localCheckpoint()
         )

@@ -258,7 +258,12 @@ def test_quality_model_separates_and_is_map_only(spark):
     for r in rows:
         assert r["keep"] == (r["doc_id"] % eq.QM_JUNK_MOD != 3), r
     plan = formatted_plan(out)
-    assert "Exchange" not in plan
+    # map-only = no data-keyed exchange; the r6 scan-parallelism guard
+    # adds one round-robin repartition of the single-split source, which
+    # keys on nothing and moves each row once
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
 
     w1, b1 = eq._qm_fitted(sf)
     eq._qm_model_cache.clear()
