@@ -77,6 +77,29 @@ bm25 AS (
 
 _SCAN_SPLITS: dict[tuple[str, int], int] = {}
 
+# Minimum compressed source size for the scan spread to pay for itself:
+# the repartition costs a fixed exchange (~0.3-0.5 s of scheduling and a
+# serial shuffle write) and a pushdown barrier, so below ~4 MB of
+# parquet the single-core map work it would parallelize is cheaper than
+# the exchange (measured at sf0.1: the spread REGRESSED 20 light
+# queries by 0.3-1.5 s each while saving under 0.5 s).  Env-overridable
+# for unusual deployments; on any multi-split production table the
+# spread is a no-op regardless.
+_SPREAD_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES",
+                                       str(4 * 1024 * 1024)))
+
+
+def _src_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path) for f in fs
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 60  # unknown (object store): assume big
+
 
 def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """Scan-parallelism guard (guide §2.5 "input skew"): the driver's
@@ -90,6 +113,8 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     memoized per (path, parallelism) so repeated builders don't re-plan
     the scan."""
     n = spark.sparkContext.defaultParallelism
+    if _src_bytes(path) < _SPREAD_MIN_BYTES:
+        return df
     key = (path, n)
     if key not in _SCAN_SPLITS:
         _SCAN_SPLITS[key] = df.rdd.getNumPartitions()
@@ -4135,25 +4160,13 @@ def q_mlt_search(spark, sf_dir):
     from document_retrieval_system_spark.operators.mlt import doc_top_terms
 
     docs = _docs(spark, sf_dir)
-    # r6: the source doc's tf rows come from a doc_id-pushed scan (one
-    # document, not the corpus-wide tfs), and df is computed only for
-    # the terms that doc contains (semi-join pre-filter before the
-    # aggregation — countDistinct(doc_id) over position rows equals the
-    # former count of unique (doc, term) rows).  Values unchanged.
-    pos = _pos_df(docs)
-    src_tfs = (
-        pos.filter(F.col("doc_id") == F.lit(MLT_DOC))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    stats = (
-        pos.join(F.broadcast(src_tfs.select("term").distinct()), "term",
-                 "left_semi")
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
+    # (r6 note: a src-doc-pushed-scan + semi-joined-df variant was tried
+    # and reverted — its extra broadcast/distinct jobs cost more than
+    # the corpus-wide tfs it avoided, at sf0.1 and sf1.0 alike)
+    tfs = _tfs_df(docs)
+    stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
     corpus = _corpus_nd(docs)
-    terms = doc_top_terms(src_tfs, stats, corpus, MLT_DOC, MLT_M)
+    terms = doc_top_terms(tfs, stats, corpus, MLT_DOC, MLT_M)
     return (
         _bm25_scores(docs, terms_df=terms)
         .filter(F.col("doc_id") != MLT_DOC)

@@ -42,6 +42,10 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
     components of astronomical diameter converge well inside
     ``max_iter``.  Returning silently unconverged labels would report
     one real cluster as several, so exhaustion RAISES instead."""
+    # materialize the pair list once (r6): the fwd/rev union consumes
+    # `pairs` twice, and without this the whole upstream pipeline that
+    # produced it (e.g. LSH + exact-Jaccard verify) executed twice
+    pairs = pairs.localCheckpoint(eager=True)
     fwd = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     rev = pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)

@@ -149,6 +149,11 @@ def _banded_pairs(bands: DataFrame, bucket_cap: int | None,
                   observation=None) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing >= 1 (band_id, band_key)."""
     bands = _cap_band_buckets(bands, bucket_cap, observation=observation)
+    # (r6 note: checkpointing the capped bands before the self-join was
+    # tried and reverted — the duplicated l/r signature subtrees run as
+    # independent stages of ONE job and overlap across cores, so the
+    # materialization barrier cost more wall time than the duplicate
+    # compute it removed.)
     left = bands.alias("l")
     right = bands.alias("r")
     return (
