@@ -232,8 +232,22 @@ def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame,
         F.size("grams").alias("n_b"),
     )
     common = F.size(F.array_intersect("ga", "gb"))
+    # Size-only admission bound (r6, lossless): |A∩B| <= min(|A|,|B|)
+    # and |A∪B| >= max(|A|,|B|), so jaccard <= min/max.  A candidate
+    # pair whose size ratio cannot reach the threshold skips the
+    # per-pair set intersection entirely — on mixed-length corpora
+    # that is a large fraction of the (quadratic-ish) candidate
+    # stream, at the cost of two longs already in hand.  The 1e-6
+    # slack keeps any pair whose 6-dp-rounded jaccard could still tie
+    # the threshold, so the surviving set is exactly the old one.
+    admissible = (
+        F.least("n_a", "n_b").cast("double")
+        >= (F.lit(float(threshold)) - F.lit(1e-6))
+        * F.greatest("n_a", "n_b").cast("double")
+    )
     return (
         candidates.join(ga, "id_a").join(gb, "id_b")
+        .filter(admissible)
         .withColumn("common", common)
         .withColumn(
             "jaccard",
